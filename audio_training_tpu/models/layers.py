@@ -1,0 +1,158 @@
+"""Shared Flax layers: trainable frontends and pooling.
+
+Keras-convention shims so logits can match the TF reference within tolerance:
+BatchNorm uses epsilon 1e-3 / momentum 0.99 (Keras defaults), convs default to
+glorot-uniform kernels and zero bias, LeakyReLU slope is explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from audio_training_tpu.ops.features import mag_transform
+from audio_training_tpu.ops.pcen import ema_scan, normalize_minmax_global
+
+# Keras BatchNormalization defaults
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99
+
+glorot = nn.initializers.glorot_uniform()
+orthogonal = nn.initializers.orthogonal()
+
+
+def leaky_relu(x: jax.Array, alpha: float = 0.01) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=alpha)
+
+
+class KerasBatchNorm(nn.Module):
+    """BatchNorm with Keras defaults; ``feature_axis=-1`` is the usual
+    channels BN, ``feature_axis=1`` reproduces the per-mel-row BN of
+    badwinner2 (``BatchNormalization(axis=1)``, badwinner2.py:233)."""
+
+    feature_axis: int = -1
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            axis=self.feature_axis,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            use_scale=self.use_scale,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class MagTransform(nn.Module):
+    """Trainable magnitude compression ``x**sigmoid(a)`` with ``a`` clipped to
+    [-2, 1] (badwinner2.MagTransform, badwinner2.py:32-49; the Keras version
+    clips via a MinMaxNorm weight constraint, here we clip in the forward)."""
+
+    init_value: float = -1.0
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param(
+            "a_power", nn.initializers.constant(self.init_value), (1,), jnp.float32
+        )
+        a = jnp.clip(a, -2.0, 1.0)
+        return mag_transform(x, a.astype(x.dtype))
+
+
+class PCENLayer(nn.Module):
+    """Trainable per-channel energy normalization (tfpcen.PCEN,
+    tfpcen.py:43-99), operating on ``(batch, time, filters)`` or, with
+    ``time_axis=2``, on mel images ``(batch, mel, time[, channel])``.
+
+    The EMA smoother runs as an O(log T) associative scan instead of the
+    reference's sequential ``tf.scan`` (see ops/pcen.py).
+    """
+
+    eps: float = 1e-6
+    time_axis: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        gain = self.param("gain", nn.initializers.constant(0.98), (1,), jnp.float32)
+        bias = self.param("bias", nn.initializers.constant(2.0), (1,), jnp.float32)
+        root = self.param("root", nn.initializers.constant(2.0), (1,), jnp.float32)
+        smooth = self.param(
+            "smooth", nn.initializers.constant(0.04), (1,), jnp.float32
+        )
+        # the reference also defines an unused clipped "a-power" weight
+        # (tfpcen.py:78-87); omitted here since call() never reads it.
+        gain = jnp.minimum(gain, 1.0).astype(x.dtype)
+        root = jnp.maximum(root, 1.0).astype(x.dtype)
+        bias = bias.astype(x.dtype)
+        init = jnp.take(x, 0, axis=self.time_axis)
+        m = ema_scan(x, smooth.astype(x.dtype), init, axis=self.time_axis)
+        one_over_root = 1.0 / root
+        out = (x / (self.eps + m) ** gain + bias) ** one_over_root - (
+            bias**one_over_root
+        )
+        return normalize_minmax_global(out)
+
+
+def logmeanexp(
+    x: jax.Array, axis: int, sharpness: float = 5.0, keepdims: bool = True
+) -> jax.Array:
+    """Log-mean-exp pooling (badwinner2.LMELayer, badwinner2.py:343-355;
+    wr_resnet_bird.logmeanexp, resnet/wr_resnet_bird.py:83-87)."""
+    n = x.shape[axis]
+    lse = jax.scipy.special.logsumexp(x * sharpness, axis=axis, keepdims=keepdims)
+    return (lse - jnp.log(n)) / sharpness
+
+
+class LMELayer(nn.Module):
+    sharpness: float = 5.0
+    axis: int = 1
+
+    def __call__(self, x):
+        return logmeanexp(x, axis=self.axis, sharpness=self.sharpness)
+
+
+class Conv(nn.Module):
+    """Keras-style Conv2D: NHWC, valid padding by default, glorot-uniform
+    kernel, zero bias."""
+
+    features: int
+    kernel: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: str = "VALID"
+    kernel_init: Callable = glorot
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+
+def max_pool(x: jax.Array, window: Sequence[int]) -> jax.Array:
+    """Keras MaxPool2D semantics: stride = window, valid padding."""
+    w = tuple(window)
+    return nn.max_pool(x, window_shape=w, strides=w, padding="VALID")
+
+
+def avg_pool(x: jax.Array, window: Sequence[int], padding: str = "VALID") -> jax.Array:
+    w = tuple(window)
+    return nn.avg_pool(x, window_shape=w, strides=w, padding=padding)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """GlobalAveragePooling2D over (H, W) of NHWC."""
+    return jnp.mean(x, axis=(1, 2))
