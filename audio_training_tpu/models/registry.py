@@ -1,0 +1,267 @@
+"""Model registry — the ``build_model`` dispatch (audiomodel.py:660-876).
+
+Supported names match the reference CLI: ``badwinner2``, ``badwinner2-res``,
+``badwinner``, ``dual-badwinner2``, ``merge``, ``cnn-features``,
+``rf-features``, ``embeddings``, ``wr-resnet``, ``wr-resnet-bird``, plus every
+backbone in :data:`audio_training_tpu.models.backbones.BACKBONES` (wrapped
+with a PCEN frontend + GAP + dropout + Dense head, audiomodel.py:784-820).
+
+``rf-features`` is not a neural model: the reference trains a ydf random
+forest (audiomodel.py:766-769); here :func:`build_random_forest` returns an
+sklearn RandomForestClassifier adapter (ydf is not bundled).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from audio_training_tpu.models.backbones import BACKBONES
+from audio_training_tpu.models.badwinner import BadWinner
+from audio_training_tpu.models.badwinner2 import BadWinner2, BadWinner2Res
+from audio_training_tpu.models.layers import (
+    LMELayer,
+    MagTransform,
+    PCENLayer,
+    global_avg_pool,
+)
+from audio_training_tpu.models.wr_resnet import WRResNet
+from audio_training_tpu.models.wr_resnet_bird import WRResNetBird
+
+# Short/mid audio-feature tensors used by the merge/cnn-features models
+# (audiomodel.py:685-686: shapes (68, 60) and (136, 3)).
+SHORT_FEATURES_SHAPE = (68, 60)
+MID_FEATURES_SHAPE = (136, 3)
+
+
+class FeatureCNN(nn.Module):
+    """Dense tower over short/mid audio features (audiomodel.feature_cnn,
+    audiomodel.py:2770-2787): two Dense-128+relu, dropout .1, GAP over the
+    first feature axis, Dense(num_labels) sigmoid — per branch."""
+
+    num_labels: int
+    dtype: Any = None
+
+    def tower(self, x, train: bool):
+        for _ in range(2):
+            x = nn.Dense(128, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = jnp.mean(x, axis=1)  # GlobalAveragePooling1D
+        x = nn.Dense(self.num_labels)(x)
+        return nn.sigmoid(x)
+
+    @nn.compact
+    def __call__(self, short_f, mid_f, train: bool = False):
+        return self.tower(short_f, train), self.tower(mid_f, train)
+
+
+class CNNFeaturesModel(nn.Module):
+    """``cnn-features``: feature towers -> concat -> Dense -> activation
+    (audiomodel.py:751-765)."""
+
+    num_labels: int
+    multi_label: bool = True
+    logits_only: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, short_f, mid_f, train: bool = False):
+        s, m = FeatureCNN(self.num_labels, dtype=self.dtype)(short_f, mid_f, train)
+        out = jnp.concatenate([s, m], axis=-1)
+        out = nn.Dense(self.num_labels)(out)
+        if self.logits_only:
+            return out
+        return nn.sigmoid(out) if self.multi_label else nn.softmax(out)
+
+
+class MergeModel(nn.Module):
+    """``merge``: badwinner2 output ++ feature towers -> Dense -> activation
+    (audiomodel.py:674-708)."""
+
+    num_labels: int
+    multi_label: bool = True
+    lme: bool = False
+    logits_only: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, mel, short_f, mid_f, train: bool = False):
+        bw = BadWinner2(
+            self.num_labels, multi_label=self.multi_label, lme=self.lme,
+            dtype=self.dtype,
+        )(mel, train)
+        s, m = FeatureCNN(self.num_labels, dtype=self.dtype)(short_f, mid_f, train)
+        out = jnp.concatenate([bw, s, m], axis=-1)
+        out = nn.Dense(self.num_labels)(out)
+        if self.logits_only:
+            return out
+        return nn.sigmoid(out) if self.multi_label else nn.softmax(out)
+
+
+class DualBadWinner2(nn.Module):
+    """``dual-badwinner2``: two badwinner2 trunks on two mel views, concat,
+    Dense, activation (audiomodel.py:709-740)."""
+
+    num_labels: int
+    multi_label: bool = True
+    lme: bool = False
+    logits_only: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, mel_a, mel_b, train: bool = False):
+        a = BadWinner2(self.num_labels, multi_label=self.multi_label,
+                       lme=self.lme, dtype=self.dtype)(mel_a, train)
+        b = BadWinner2(self.num_labels, multi_label=self.multi_label,
+                       lme=self.lme, dtype=self.dtype)(mel_b, train)
+        out = jnp.concatenate([a, b], axis=-1)
+        out = nn.Dense(self.num_labels)(out)
+        if self.logits_only:
+            return out
+        return nn.sigmoid(out) if self.multi_label else nn.softmax(out)
+
+
+class LinearEmbeddings(nn.Module):
+    """``embeddings``: linear probe over (Perch-style) embedding vectors
+    (audiomodel.get_linear_model, audiomodel.py:2595-2603)."""
+
+    num_labels: int
+    logits_only: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        x = nn.Dense(self.num_labels)(x)
+        return x if self.logits_only else nn.sigmoid(x)
+
+
+class BackboneClassifier(nn.Module):
+    """Pretrained-backbone adapter: PCEN (or MagTransform) frontend ->
+    backbone -> optional LME -> GAP -> Dropout .5 -> Dense -> activation
+    (audiomodel.py:784-820)."""
+
+    backbone_name: str
+    num_labels: int
+    multi_label: bool = True
+    lme: bool = False
+    use_pcen: bool = True
+    dropout: float = 0.5
+    logits_only: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_pcen:
+            # PCEN over mel images: time axis is 2 in (B, mel, T, C)
+            x = PCENLayer(time_axis=2)(x)
+        else:
+            x = MagTransform()(x)
+        backbone = BACKBONES[self.backbone_name](dtype=self.dtype)
+        x = backbone(x, train)
+        if self.lme:
+            x = LMELayer(axis=1, sharpness=5)(x)
+            x = LMELayer(axis=2, sharpness=5)(x)
+        x = global_avg_pool(x).astype(jnp.float32)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.num_labels)(x)
+        if self.logits_only:
+            return x
+        return nn.sigmoid(x) if self.multi_label else nn.softmax(x)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """What inputs a model takes; used by the train/infer harness."""
+
+    module: nn.Module
+    inputs: tuple[str, ...]  # e.g. ("mel",) or ("short_f", "mid_f")
+
+
+def build_model(
+    model_name: str,
+    num_labels: int,
+    multi_label: bool = True,
+    lme: bool = False,
+    logits_only: bool = False,
+    dtype: Any = None,
+    **kwargs,
+) -> ModelSpec:
+    """Build a model by reference CLI name (audiomodel.py:660-876)."""
+    name = model_name.lower()
+    common = dict(multi_label=multi_label, logits_only=logits_only, dtype=dtype)
+    if name == "badwinner2":
+        return ModelSpec(
+            BadWinner2(num_labels, lme=lme, **common, **kwargs), ("mel",)
+        )
+    if name == "badwinner2-res":
+        return ModelSpec(BadWinner2Res(num_labels, **common, **kwargs), ("mel",))
+    if name == "badwinner":
+        return ModelSpec(BadWinner(num_labels, **common, **kwargs), ("mel",))
+    if name == "dual-badwinner2":
+        return ModelSpec(
+            DualBadWinner2(num_labels, lme=lme, **common, **kwargs),
+            ("mel", "mel2"),
+        )
+    if name == "merge":
+        return ModelSpec(
+            MergeModel(num_labels, lme=lme, **common, **kwargs),
+            ("mel", "short_f", "mid_f"),
+        )
+    if name == "cnn-features":
+        return ModelSpec(
+            CNNFeaturesModel(num_labels, **common, **kwargs),
+            ("short_f", "mid_f"),
+        )
+    if name == "embeddings":
+        return ModelSpec(
+            LinearEmbeddings(num_labels, logits_only=logits_only),
+            ("embedding",),
+        )
+    if name == "wr-resnet":
+        return ModelSpec(
+            WRResNet(num_labels, logits_only=logits_only, dtype=dtype, **kwargs),
+            ("mel",),
+        )
+    if name == "wr-resnet-bird":
+        return ModelSpec(
+            WRResNetBird(num_labels, logits_only=logits_only, dtype=dtype,
+                         **kwargs),
+            ("mel",),
+        )
+    if name in BACKBONES:
+        return ModelSpec(
+            BackboneClassifier(
+                backbone_name=name, num_labels=num_labels, lme=lme,
+                **common, **kwargs,
+            ),
+            ("mel",),
+        )
+    if name == "rf-features":
+        raise ValueError(
+            "rf-features is a random-forest model; use "
+            "audio_training_tpu.models.registry.build_random_forest"
+        )
+    raise ValueError(f"Unknown model name: {model_name}")
+
+
+def build_random_forest(**kwargs):
+    """sklearn stand-in for the reference's ydf RandomForestLearner
+    (audiomodel.py:766-769).  Train with flattened short/mid feature
+    vectors; see audiomodel.tf_to_ydf (audiomodel.py:2790-2803)."""
+    from sklearn.ensemble import RandomForestClassifier
+
+    kwargs.setdefault("n_estimators", 300)
+    return RandomForestClassifier(**kwargs)
+
+
+MODEL_NAMES = (
+    ["badwinner", "badwinner2", "badwinner2-res", "dual-badwinner2", "merge",
+     "cnn-features", "rf-features", "embeddings", "wr-resnet",
+     "wr-resnet-bird"]
+    + sorted(BACKBONES.keys())
+)

@@ -1,0 +1,181 @@
+"""Model shape/behavior tests vs the documented reference layer plans."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_training_tpu.models import (
+    BadWinner2,
+    WRResNet,
+    build_model,
+    logmeanexp,
+)
+from audio_training_tpu.models.registry import (
+    MID_FEATURES_SHAPE,
+    SHORT_FEATURES_SHAPE,
+    MODEL_NAMES,
+)
+
+# Small mel geometry keeps CPU compile fast while still exercising every
+# layer (96 mels hits badwinner2's (22,3) condense branch,
+# badwinner2.py:261-262).  The time axis must survive the conv/pool stack:
+# 243 -> ... -> 16 after the (1,9) time-context conv.
+SMALL = (2, 96, 243, 1)
+
+
+def _init_and_run(spec, inputs, train=False):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = spec.module.init(rngs, *inputs, train=False)
+    out = spec.module.apply(
+        variables,
+        *inputs,
+        train=train,
+        rngs={"dropout": jax.random.PRNGKey(2)} if train else None,
+        mutable=["batch_stats"] if train else False,
+    )
+    if train:
+        out = out[0]
+    return out, variables
+
+
+def test_badwinner2_shapes_and_range():
+    x = jnp.asarray(np.random.default_rng(0).random(SMALL), jnp.float32)
+    spec = build_model("badwinner2", num_labels=7)
+    out, variables = _init_and_run(spec, [x])
+    assert out.shape == (2, 7)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+    # MagTransform trainable power param exists (badwinner2.py:32-49)
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert any("MagTransform" in n and "a_power" in n for n in names)
+
+
+def test_badwinner2_softmax_single_label():
+    x = jnp.zeros(SMALL, jnp.float32)
+    spec = build_model("badwinner2", num_labels=5, multi_label=False)
+    out, _ = _init_and_run(spec, [x])
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_badwinner2_train_mode_runs():
+    x = jnp.asarray(np.random.default_rng(1).random(SMALL), jnp.float32)
+    spec = build_model("badwinner2", num_labels=3)
+    out, _ = _init_and_run(spec, [x], train=True)
+    assert out.shape == (2, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_badwinner2_160mel_condense_shape():
+    # 160-mel path uses the (44,3) condense conv (badwinner2.py:259-260);
+    # verify the mel axis fully collapses before the (5,3) pool: with
+    # 160 mels -> conv stack leaves H=5 -> pool(5,3) -> H=1.
+    x = jnp.zeros((1, 160, 513, 1), jnp.float32)
+    spec = build_model("badwinner2", num_labels=2)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (1, 2)
+
+
+def test_badwinner2_lme():
+    x = jnp.asarray(np.random.default_rng(2).random(SMALL), jnp.float32)
+    spec = build_model("badwinner2", num_labels=4, lme=True)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (2, 4)
+
+
+def test_badwinner2_res():
+    x = jnp.asarray(np.random.default_rng(3).random((1, 160, 243, 1)),
+                    jnp.float32)
+    spec = build_model("badwinner2-res", num_labels=3)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (1, 3)
+
+
+def test_wr_resnet():
+    x = jnp.asarray(np.random.default_rng(4).random((2, 64, 96, 1)),
+                    jnp.float32)
+    spec = build_model("wr-resnet", num_labels=6)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (2, 6)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_wr_resnet_bird():
+    x = jnp.asarray(np.random.default_rng(5).random((1, 64, 96, 1)),
+                    jnp.float32)
+    spec = build_model("wr-resnet-bird", num_labels=4)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (1, 4)
+
+
+def test_badwinner_v1():
+    x = jnp.asarray(np.random.default_rng(6).random((2, 120, 480, 1)),
+                    jnp.float32)
+    spec = build_model("badwinner", num_labels=2)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (2, 2)
+
+
+def test_cnn_features_model():
+    s = jnp.zeros((2, *SHORT_FEATURES_SHAPE), jnp.float32)
+    m = jnp.zeros((2, *MID_FEATURES_SHAPE), jnp.float32)
+    spec = build_model("cnn-features", num_labels=5)
+    out, _ = _init_and_run(spec, [s, m])
+    assert out.shape == (2, 5)
+
+
+def test_merge_model():
+    mel = jnp.zeros(SMALL, jnp.float32)
+    s = jnp.zeros((2, *SHORT_FEATURES_SHAPE), jnp.float32)
+    m = jnp.zeros((2, *MID_FEATURES_SHAPE), jnp.float32)
+    spec = build_model("merge", num_labels=3)
+    out, _ = _init_and_run(spec, [mel, s, m])
+    assert out.shape == (2, 3)
+
+
+def test_dual_badwinner2():
+    mel = jnp.zeros(SMALL, jnp.float32)
+    spec = build_model("dual-badwinner2", num_labels=3)
+    out, _ = _init_and_run(spec, [mel, mel])
+    assert out.shape == (2, 3)
+
+
+def test_embeddings_linear():
+    x = jnp.zeros((4, 1280), jnp.float32)  # Perch embedding dim
+    spec = build_model("embeddings", num_labels=10)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (4, 10)
+
+
+@pytest.mark.parametrize("name", ["mobilenet", "efficientnetb0"])
+def test_backbone_classifier(name):
+    x = jnp.asarray(np.random.default_rng(7).random((1, 64, 96, 1)),
+                    jnp.float32)
+    spec = build_model(name, num_labels=3)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (1, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_logmeanexp_between_mean_and_max():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((4, 10)), jnp.float32)
+    lme = np.asarray(logmeanexp(x, axis=1, sharpness=5, keepdims=False))
+    assert (lme >= np.asarray(x).mean(1) - 1e-5).all()
+    assert (lme <= np.asarray(x).max(1) + 1e-5).all()
+
+
+def test_random_forest_adapter():
+    from audio_training_tpu.models import build_random_forest
+
+    rf = build_random_forest(n_estimators=5)
+    X = np.random.default_rng(9).random((40, 10))
+    y = (X[:, 0] > 0.5).astype(int)
+    rf.fit(X, y)
+    assert rf.score(X, y) > 0.9
+
+
+def test_unknown_model_name():
+    with pytest.raises(ValueError):
+        build_model("not-a-model", num_labels=2)
+    assert "badwinner2" in MODEL_NAMES and "efficientnetv2bm" in MODEL_NAMES
