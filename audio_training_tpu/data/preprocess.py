@@ -1,0 +1,116 @@
+"""On-device batch preprocessing: one jit graph from raw waveform to model
+input, fusing what the reference spreads over five tf.data maps
+(mixup -> normalize -> stft -> mel -> channel-repeat, tfdataset.py:461-505).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_training_tpu.config import FeaturizerConfig
+from audio_training_tpu.ops.features import (
+    build_mel_weights,
+    mix_up,
+    normalize_rows,
+    raw_to_mel,
+    spec_augment,
+)
+
+
+def make_preprocess_fn(
+    cfg: FeaturizerConfig,
+    augment: bool = False,
+    mixup_alpha: float = 0.5,
+    mixup_chance: float = 0.25,
+    single_label_mix: bool = True,
+    use_spec_augment: bool = False,
+    channels: int = 1,
+) -> Callable:
+    """Build the jit-compiled (raw, y[, raw2, y2], key) -> (mel, y) map.
+
+    Augmented path order matches get_dataset (tfdataset.py:466-505):
+    mixup(alpha=0.5) -> per-sample waveform min-max normalize -> raw->mel.
+    """
+    mel_w = jnp.asarray(build_mel_weights(cfg))
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+
+    if augment:
+
+        @jax.jit
+        def preprocess(raw, y, raw2, y2, key):
+            k1, k2 = jax.random.split(key)
+            mixed, y = mix_up(
+                k1, raw, y, raw2, y2,
+                alpha=mixup_alpha, chance=mixup_chance,
+                single_label=single_label_mix,
+            )
+            mixed = normalize_rows(mixed)
+            mel = raw_to_mel(mixed, mel_w, n_fft=n_fft, hop=hop,
+                             channels=channels)
+            if use_spec_augment:
+                mel = spec_augment(k2, mel)
+            return mel, y
+
+        return preprocess
+
+    @jax.jit
+    def preprocess_eval(raw, y):
+        mel = raw_to_mel(raw, mel_w, n_fft=n_fft, hop=hop, channels=channels)
+        return mel, y
+
+    return preprocess_eval
+
+
+# ---------------------------------------------------------------------------
+# Class weighting / distribution (tfdataset.py:315-338, 1721-1761)
+# ---------------------------------------------------------------------------
+
+
+def get_distribution(batches, num_labels: int) -> tuple[np.ndarray, int]:
+    """Per-label positive counts + total sample count over an iterable of
+    (x, y) batches (tfdataset.get_distribution)."""
+    dist = np.zeros(num_labels, np.float64)
+    total = 0
+    for _, y in batches:
+        y = np.asarray(y)
+        dist += y.sum(axis=0)
+        total += y.shape[0]
+    return dist, total
+
+
+def get_weighting(
+    dist: np.ndarray,
+    labels: list[str],
+    dont_weigh: list[str] | None = None,
+    cap_max: float = 4.0,
+    cap_min: float = 0.25,
+) -> dict[int, float]:
+    """Inverse-frequency class weights clipped to [0.25, 4]
+    (tfdataset.get_weighting, tfdataset.py:1721-1761)."""
+    dont_weigh = dont_weigh or []
+    num_labels = len(labels)
+    dist = np.asarray(dist, np.float64)
+    non_zero = num_labels - int((dist == 0).sum())
+    total = sum(d for d, l in zip(dist, labels) if l not in dont_weigh)
+    weights: dict[int, float] = {}
+    for i in range(num_labels):
+        if labels[i] in dont_weigh:
+            weights[i] = 1.0
+        elif dist[i] == 0:
+            weights[i] = 0.0
+        else:
+            w = (1.0 / dist[i]) * (total / max(non_zero, 1))
+            weights[i] = float(np.clip(w, cap_min, cap_max))
+    return weights
+
+
+def weights_to_array(weights: dict[int, float], num_labels: int) -> np.ndarray:
+    out = np.ones(num_labels, np.float32)
+    for i, w in weights.items():
+        out[i] = w
+    return out
