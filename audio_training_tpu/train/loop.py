@@ -1,0 +1,186 @@
+"""Training loop — replaces Keras ``model.fit`` + callback suite
+(audiomodel.train_model, audiomodel.py:405-567): per-epoch train/val passes,
+best-per-metric checkpointing, early stopping (patience 10), reduce-LR-on-
+plateau, history collection, and the epoch counter that the mixup schedule
+reads (EpochUpdater, audiomodel.py:2806-2810)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from audio_training_tpu.train.checkpoints import BestCheckpointTracker
+from audio_training_tpu.train.metrics import metrics_compute, metrics_init
+from audio_training_tpu.train.state import TrainState
+from audio_training_tpu.train.step import make_eval_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class EarlyStopping:
+    """Keras EarlyStopping(patience=10) on val_loss (audiomodel.py:908-912)."""
+
+    patience: int = 10
+    monitor: str = "val_loss"
+    best: float = float("inf")
+    wait: int = 0
+
+    def update(self, logs: dict) -> bool:
+        cur = logs.get(self.monitor)
+        if cur is None or not np.isfinite(cur):
+            return False
+        if cur < self.best:
+            self.best = cur
+            self.wait = 0
+            return False
+        self.wait += 1
+        return self.wait >= self.patience
+
+
+@dataclass
+class ReduceLROnPlateau:
+    """Keras ReduceLROnPlateau equivalent (audiomodel.py:913-921)."""
+
+    patience: int = 5
+    factor: float = 0.5
+    min_lr: float = 1e-6
+    monitor: str = "val_loss"
+    best: float = float("inf")
+    wait: int = 0
+
+    def update(self, logs: dict, state: TrainState) -> TrainState:
+        cur = logs.get(self.monitor)
+        if cur is None or not np.isfinite(cur):
+            return state
+        if cur < self.best:
+            self.best = cur
+            self.wait = 0
+            return state
+        self.wait += 1
+        if self.wait >= self.patience:
+            self.wait = 0
+            new_lr = max(state.current_lr() * self.factor, self.min_lr)
+            log.info("reducing lr to %s", new_lr)
+            state = state.with_lr(new_lr)
+        return state
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    history: dict[str, list]
+    epochs_run: int
+
+
+def fit(
+    state: TrainState,
+    train_batches: Callable[[int], Iterable],
+    preprocess,
+    epochs: int = 100,
+    steps_per_epoch: int | None = None,
+    val_batches: Callable[[], Iterable] | None = None,
+    val_preprocess=None,
+    loss_name: str = "bce",
+    multi_label: bool = True,
+    label_smoothing: float = 0.0,
+    class_weights=None,
+    run_dir: str | Path | None = None,
+    early_stop_patience: int = 10,
+    reduce_lr_patience: int = 5,
+    reduce_lr_factor: float = 0.5,
+    seed: int = 0,
+    augment: bool = True,
+    log_every: int = 50,
+    hist_writer=None,
+) -> FitResult:
+    """Run the full training schedule.
+
+    ``train_batches(epoch)`` yields host batch tuples — ``(raw, y)`` or
+    ``(raw, y, raw2, y2)`` when mixup is on; ``preprocess`` is the fused
+    device map from :func:`audio_training_tpu.data.preprocess.make_preprocess_fn`.
+    """
+    train_step = make_train_step(
+        loss_name=loss_name,
+        multi_label=multi_label,
+        label_smoothing=label_smoothing,
+        class_weights=class_weights,
+    )
+    eval_step = make_eval_step(loss_name=loss_name, multi_label=multi_label)
+    val_preprocess = val_preprocess or preprocess
+
+    tracker = (
+        BestCheckpointTracker(Path(run_dir)) if run_dir is not None else None
+    )
+    stopper = EarlyStopping(patience=early_stop_patience)
+    reducer = ReduceLROnPlateau(
+        patience=reduce_lr_patience, factor=reduce_lr_factor
+    )
+    history: dict[str, list] = {}
+    key = jax.random.PRNGKey(seed)
+
+    epoch = 0
+    for epoch in range(epochs):
+        t0 = time.time()
+        metrics = metrics_init()
+        n_steps = 0
+        for batch in train_batches(epoch):
+            key, kpre, kdrop = jax.random.split(key, 3)
+            if augment and len(batch) == 4:
+                raw, y, raw2, y2 = batch
+                mel, yy = preprocess(raw, y, raw2, y2, kpre)
+            else:
+                raw, y = batch[:2]
+                mel, yy = preprocess(raw, y)
+            state, metrics = train_step(state, metrics, mel, yy, kdrop)
+            n_steps += 1
+            if steps_per_epoch is not None and n_steps >= steps_per_epoch:
+                break
+        logs = {k: v for k, v in metrics_compute(metrics).items()}
+        logs = {f"{k}": v for k, v in logs.items()}
+
+        if val_batches is not None:
+            vmetrics = metrics_init()
+            for batch in val_batches():
+                raw, y = batch[:2]
+                mel, yy = val_preprocess(raw, y)
+                vmetrics = eval_step(state, vmetrics, mel, yy)
+            for k, v in metrics_compute(vmetrics).items():
+                logs[f"val_{k}"] = v
+
+        logs["lr"] = state.current_lr()
+        logs["epoch_time"] = time.time() - t0
+        for k, v in logs.items():
+            history.setdefault(k, []).append(v)
+        log.info(
+            "epoch %d/%d steps=%d %s",
+            epoch + 1,
+            epochs,
+            n_steps,
+            {k: round(v, 4) for k, v in logs.items()},
+        )
+        if hist_writer is not None:
+            hist_writer(epoch, logs, state)
+
+        if tracker is not None:
+            tracker.update(epoch, logs, state)
+        state = reducer.update(logs, state)
+        if stopper.update(logs):
+            log.info("early stopping at epoch %d", epoch + 1)
+            break
+        if n_steps == 0:
+            log.warning("no training batches; stopping")
+            break
+
+    if run_dir is not None:
+        (Path(run_dir) / "history.json").write_text(
+            json.dumps(history, indent=2, default=float)
+        )
+    return FitResult(state=state, history=history, epochs_run=epoch + 1)

@@ -1,0 +1,108 @@
+"""pjit train/eval steps.
+
+One jit-compiled function covers forward, loss, backward, Adam update, and
+metric accumulation.  Under a multi-chip mesh the batch is sharded over the
+``data`` axis and parameters are replicated; XLA inserts the gradient
+all-reduce over ICI (SURVEY.md §2.2).  This replaces the reference's Keras
+``model.fit`` inner loop (audiomodel.py:550-562).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from audio_training_tpu.train.losses import get_loss
+from audio_training_tpu.train.metrics import metrics_init, metrics_update
+from audio_training_tpu.train.state import TrainState
+
+
+def make_train_step(
+    loss_name: str = "bce",
+    multi_label: bool = True,
+    label_smoothing: float = 0.0,
+    class_weights=None,
+    donate: bool = True,
+) -> Callable:
+    """Returns step(state, mel, y, dropout_key[, possible]) ->
+    (state, metrics_state')."""
+    loss_fn = get_loss(loss_name)
+
+    def step(state: TrainState, metrics, mel, y, dropout_key, possible=None):
+        def compute_loss(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                mel,
+                train=True,
+                rngs={"dropout": dropout_key},
+                mutable=["batch_stats"],
+            )
+            logits = out
+            if loss_name == "weighted_bce":
+                loss = loss_fn(logits, y, possible)
+            elif loss_name == "cce":
+                loss = loss_fn(logits, y, label_smoothing)
+            elif loss_name == "bce":
+                loss = loss_fn(logits, y, label_smoothing, class_weights)
+            else:
+                loss = loss_fn(logits, y)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        probs = jax.nn.sigmoid(logits) if multi_label else jax.nn.softmax(logits)
+        metrics = metrics_update(metrics, loss, probs, y, multi_label)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_step(
+    loss_name: str = "bce",
+    multi_label: bool = True,
+    label_smoothing: float = 0.0,
+) -> Callable:
+    loss_fn = get_loss(loss_name)
+
+    def step(state: TrainState, metrics, mel, y, possible=None):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            mel,
+            train=False,
+        )
+        if loss_name == "weighted_bce":
+            loss = loss_fn(logits, y, possible)
+        elif loss_name in ("bce", "cce"):
+            loss = loss_fn(logits, y, label_smoothing)
+        else:
+            loss = loss_fn(logits, y)
+        probs = jax.nn.sigmoid(logits) if multi_label else jax.nn.softmax(logits)
+        metrics = metrics_update(metrics, loss, probs, y, multi_label)
+        return metrics
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def make_predict_fn(multi_label: bool = True) -> Callable:
+    """jit (state, mel) -> probabilities."""
+
+    @jax.jit
+    def predict(state: TrainState, mel):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            mel,
+            train=False,
+        )
+        return jax.nn.sigmoid(logits) if multi_label else jax.nn.softmax(logits)
+
+    return predict
+
+
+def fresh_metrics():
+    return metrics_init()

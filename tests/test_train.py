@@ -1,0 +1,279 @@
+"""Training-harness tests: losses, metrics, train step, the minimum
+end-to-end slice (SURVEY.md §7), checkpoint save/restore, and data-parallel
+sharding over the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_training_tpu.config import FeaturizerConfig
+from audio_training_tpu.models import build_model
+from audio_training_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from audio_training_tpu.train import (
+    create_train_state,
+    fit,
+    fresh_metrics,
+    make_eval_step,
+    make_predict_fn,
+    make_train_step,
+    param_count,
+    restore_into,
+    save_state,
+)
+from audio_training_tpu.train.losses import (
+    bce_from_logits,
+    focal_bce_from_logits,
+    huber,
+    macro_soft_f1,
+    weighted_cross_entropy_from_logits,
+)
+from audio_training_tpu.train.metrics import (
+    confusion_init,
+    confusion_update,
+    auc_compute,
+    metrics_compute,
+    precision_compute,
+    prec_at_k_compute,
+    prec_at_k_init,
+    prec_at_k_update,
+    recall_compute,
+)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def test_bce_matches_manual():
+    logits = jnp.asarray([[0.5, -1.0], [2.0, 0.0]])
+    labels = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    got = float(bce_from_logits(logits, labels))
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    want = -(np.asarray(labels) * np.log(p)
+             + (1 - np.asarray(labels)) * np.log(1 - p)).mean()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_weighted_bce_masks_negatives():
+    # generic-bird clip: true label is bird only, but specific species are
+    # plausible -> their negative terms are masked (audiomodel.py:2637-2643)
+    logits = jnp.asarray([[3.0, 3.0]])  # confident on both outputs
+    labels = jnp.asarray([[1.0, 0.0]])
+    all_counted = weighted_cross_entropy_from_logits(
+        logits, labels, jnp.asarray([[1.0, 1.0]])
+    )
+    masked = weighted_cross_entropy_from_logits(
+        logits, labels, jnp.asarray([[1.0, 0.0]])
+    )
+    assert float(masked) < float(all_counted)
+
+
+def test_soft_f1_perfect_prediction_low():
+    labels = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    good = macro_soft_f1(jnp.asarray([[10.0, -10.0], [-10.0, 10.0]]), labels)
+    bad = macro_soft_f1(jnp.asarray([[-10.0, 10.0], [10.0, -10.0]]), labels)
+    assert float(good) < 0.01 < float(bad)
+
+
+def test_focal_downweights_easy():
+    labels = jnp.asarray([[1.0]])
+    easy = focal_bce_from_logits(jnp.asarray([[3.0]]), labels)
+    plain = bce_from_logits(jnp.asarray([[3.0]]), labels)
+    assert float(easy) < float(plain)
+
+
+def test_huber():
+    assert float(huber(jnp.asarray([0.5]), jnp.asarray([0.5]))) == 0.0
+    assert float(huber(jnp.asarray([1.0]), jnp.asarray([0.0]))) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def test_auc_perfect_separation():
+    st = confusion_init()
+    probs = jnp.asarray([0.9, 0.8, 0.2, 0.1])
+    labels = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    st = confusion_update(st, probs, labels)
+    assert float(auc_compute(st)) == pytest.approx(1.0, abs=0.02)
+    assert float(precision_compute(st)) == pytest.approx(1.0)
+    assert float(recall_compute(st)) == pytest.approx(1.0)
+
+
+def test_auc_random_is_half():
+    rng = np.random.default_rng(0)
+    st = confusion_init()
+    probs = jnp.asarray(rng.random(4000), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, 4000), jnp.float32)
+    st = confusion_update(st, probs, labels)
+    assert float(auc_compute(st)) == pytest.approx(0.5, abs=0.05)
+
+
+def test_prec_at_k():
+    st = prec_at_k_init()
+    y_true = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+    y_pred = jnp.asarray([[0.9, 0.8, 0.0, 0.0]])  # one of two correct in top3
+    st = prec_at_k_update(st, y_pred, y_true, k=3)
+    assert float(prec_at_k_compute(st)) == pytest.approx(0.5)
+
+
+def test_prec_at_k_bird_mask():
+    st = prec_at_k_init()
+    y_true = jnp.asarray([[1.0, 1.0, 0.0]])  # bird at index 0 + specific
+    y_pred = jnp.asarray([[1.0, 0.9, 0.0]])
+    st = prec_at_k_update(st, y_pred, y_true, k=3, bird_index=0)
+    # bird output ignored entirely
+    assert float(prec_at_k_compute(st)) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Train step + E2E slice
+# ---------------------------------------------------------------------------
+
+
+def _tiny_model_and_data(num_labels=3, batch=8):
+    spec = build_model("wr-resnet", num_labels=num_labels, logits_only=True,
+                       depth=10, k=1)
+    rng = np.random.default_rng(0)
+    mel = rng.random((batch, 32, 48, 1)).astype(np.float32)
+    # learnable rule: label = whether the mean of a quadrant is high
+    y = np.zeros((batch, num_labels), np.float32)
+    y[:, 0] = (mel[:, :16, :, 0].mean((1, 2)) > mel[:, 16:, :, 0].mean((1, 2)))
+    y[:, 1] = 1 - y[:, 0]
+    return spec, mel, y
+
+
+def test_train_step_decreases_loss():
+    spec, mel, y = _tiny_model_and_data()
+    state = create_train_state(spec.module, (jnp.asarray(mel),),
+                               learning_rate=1e-3)
+    step = make_train_step(loss_name="bce", donate=False)
+    losses = []
+    metrics = fresh_metrics()
+    for i in range(30):
+        metrics = fresh_metrics()
+        state, metrics = step(state, metrics, jnp.asarray(mel),
+                              jnp.asarray(y), jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss_sum"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    spec, mel, y = _tiny_model_and_data()
+    state = create_train_state(spec.module, (jnp.asarray(mel),))
+    predict = make_predict_fn()
+    before = np.asarray(predict(state, jnp.asarray(mel)))
+    save_state(tmp_path / "ck", state)
+    state2 = create_train_state(spec.module, (jnp.asarray(mel),), seed=99)
+    state2 = restore_into(state2, tmp_path / "ck")
+    after = np.asarray(predict(state2, jnp.asarray(mel)))
+    np.testing.assert_allclose(before, after, rtol=1e-6)
+
+
+def test_fit_end_to_end_slice(tmp_path):
+    """SURVEY.md §7 minimum slice: synthetic batches -> fit -> loss drops ->
+    best checkpoints written -> reload -> predict."""
+    spec, mel, y = _tiny_model_and_data()
+    state = create_train_state(spec.module, (jnp.asarray(mel),),
+                               learning_rate=1e-3)
+
+    def train_batches(epoch):
+        for _ in range(4):
+            yield (mel, y)
+
+    def val_batches():
+        yield (mel, y)
+
+    ident = lambda raw, yy: (jnp.asarray(raw), jnp.asarray(yy))
+    result = fit(
+        state,
+        train_batches,
+        ident,
+        epochs=6,
+        val_batches=val_batches,
+        run_dir=tmp_path / "run",
+        augment=False,
+        early_stop_patience=10,
+    )
+    assert result.epochs_run >= 1
+    hist = result.history
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert (tmp_path / "run" / "val-loss").exists()
+    assert (tmp_path / "run" / "chkpt").exists()
+    # reload best and predict
+    state2 = create_train_state(spec.module, (jnp.asarray(mel),), seed=5)
+    state2 = restore_into(state2, tmp_path / "run" / "val-loss")
+    probs = make_predict_fn()(state2, jnp.asarray(mel))
+    assert probs.shape == y.shape
+
+
+def test_reduce_lr_on_plateau():
+    from audio_training_tpu.train import ReduceLROnPlateau
+
+    spec, mel, y = _tiny_model_and_data()
+    state = create_train_state(spec.module, (jnp.asarray(mel),),
+                               learning_rate=0.01)
+    r = ReduceLROnPlateau(patience=2, factor=0.5)
+    state = r.update({"val_loss": 1.0}, state)
+    state = r.update({"val_loss": 1.1}, state)
+    assert state.current_lr() == pytest.approx(0.01)
+    state = r.update({"val_loss": 1.2}, state)
+    assert state.current_lr() == pytest.approx(0.005)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel sharding on the 8-device CPU mesh
+# ---------------------------------------------------------------------------
+
+
+def test_dp_train_step_on_mesh():
+    mesh = make_mesh(num_data=8)
+    spec, mel, y = _tiny_model_and_data(batch=16)
+    state = create_train_state(spec.module, (jnp.asarray(mel[:1]),),
+                               learning_rate=1e-3)
+    state = jax.device_put(state, replicated(mesh))
+    mel_s, y_s = shard_batch(mesh, mel, y)
+    assert len(mel_s.sharding.device_set) == 8
+    step = make_train_step(loss_name="bce", donate=False)
+    metrics = fresh_metrics()
+    state, metrics = step(state, metrics, mel_s, y_s, jax.random.PRNGKey(0))
+    # params remain replicated after the sharded update
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert np.isfinite(float(metrics["loss_sum"]))
+
+
+def test_dp_matches_single_device():
+    mesh = make_mesh(num_data=8)
+    spec, mel, y = _tiny_model_and_data(batch=16)
+    step = make_train_step(loss_name="bce", donate=False)
+
+    s1 = create_train_state(spec.module, (jnp.asarray(mel[:1]),),
+                            learning_rate=1e-3, seed=0)
+    m1 = fresh_metrics()
+    s1, m1 = step(s1, m1, jnp.asarray(mel), jnp.asarray(y),
+                  jax.random.PRNGKey(0))
+
+    s8 = create_train_state(spec.module, (jnp.asarray(mel[:1]),),
+                            learning_rate=1e-3, seed=0)
+    s8 = jax.device_put(s8, replicated(mesh))
+    mel_s, y_s = shard_batch(mesh, mel, y)
+    m8 = fresh_metrics()
+    s8, m8 = step(s8, m8, mel_s, y_s, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        float(m1["loss_sum"]), float(m8["loss_sum"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), atol=1e-5)
+
+
+def test_param_count_positive():
+    spec, mel, _ = _tiny_model_and_data()
+    state = create_train_state(spec.module, (jnp.asarray(mel),))
+    assert param_count(state) > 1000
