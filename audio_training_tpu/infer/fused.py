@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from audio_training_tpu.config import FeaturizerConfig
 from audio_training_tpu.ops.features import build_mel_weights
-from audio_training_tpu.ops.pallas.melspec import fused_power_mel
+from audio_training_tpu.ops.pallas.melspec import default_interpret, fused_power_mel
 from audio_training_tpu.ops.pcen import pcen
 from audio_training_tpu.ops.stft import stft_tf_style
 
@@ -41,7 +41,8 @@ def make_fused_infer_fn(
         spec = stft_tf_style(raw, n_fft, hop)  # (B, T, F)
         if use_pallas:
             mel_tm = fused_power_mel(
-                jnp.real(spec), jnp.imag(spec), mel_w_t
+                jnp.real(spec), jnp.imag(spec), mel_w_t,
+                interpret=default_interpret(),
             )  # (B, T, M)
             mel = jnp.swapaxes(mel_tm, 1, 2)  # (B, M, T)
         else:

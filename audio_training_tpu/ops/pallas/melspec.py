@@ -27,6 +27,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def default_interpret() -> bool:
+    """Pallas TPU kernels only compile on TPU; interpret elsewhere (CPU
+    tests / virtual meshes)."""
+    return jax.default_backend() != "tpu"
+
+
 def _power_mel_kernel(re_ref, im_ref, w_ref, out_ref):
     re = re_ref[0]
     im = im_ref[0]
@@ -111,7 +117,7 @@ def mel_power_spectrogram(
     mel_weights: jax.Array,
     n_fft: int,
     hop: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Waveform (B, N) -> mel power (B, M, T) using the fused kernel.
 
@@ -121,6 +127,8 @@ def mel_power_spectrogram(
     """
     from audio_training_tpu.ops.stft import stft_tf_style
 
+    if interpret is None:
+        interpret = default_interpret()
     spec = stft_tf_style(raw, n_fft, hop)  # (B, T, F)
     out = fused_power_mel(
         jnp.real(spec), jnp.imag(spec), mel_weights.T, interpret=interpret
