@@ -1,0 +1,223 @@
+"""Multiprocess TFRecord shard writer (audiowriter.py parity).
+
+Worker processes pull recordings off a queue, decode audio, slice per-sample
+waveforms, and write GZIP shards round-robin (audiowriter.create_tf_records /
+process_job, audiowriter.py:578-642, 239-311).
+
+TPU-native change: the full 2049x513 magnitude spectrogram the reference
+stores per record (~4 MB, audiowriter.py:131-135) is NOT written by default —
+the training pipeline recomputes the STFT on device from the raw waveform in
+microseconds, so records shrink ~8x and the host input pipeline reads ~8x
+less gzip.  ``store_spectrogram=True`` restores byte-level schema parity.
+"""
+
+from __future__ import annotations
+
+import logging
+import multiprocessing
+import queue as queue_mod
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from audio_training_tpu.config import FeaturizerConfig
+from audio_training_tpu.corpus.audioio import load_recording, probe_duration
+from audio_training_tpu.corpus.dataset import AudioDataset, Recording
+from audio_training_tpu.data.schema import SampleRecord, encode_sample
+from audio_training_tpu.data.tfrecord import TFRecordWriter
+from audio_training_tpu.ops.features import normalize_waveform
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class SampleData:
+    raw: np.ndarray
+    raw_length: float
+    spectogram: np.ndarray | None = None
+
+
+def load_data(
+    cfg: FeaturizerConfig,
+    start_s: float,
+    frames: np.ndarray,
+    sr: int,
+    end: float | None = None,
+    store_spectrogram: bool = False,
+    rng: np.random.Generator | None = None,
+) -> SampleData:
+    """Slice one 3 s window (audiodataset.load_data, audiodataset.py:1171-1331):
+    short windows are re-centred with a random shift inside the recording,
+    leftover shortfall is random-offset zero padded; raises when the result
+    is constant (max==min assert, audiodataset.py:1311-1323)."""
+    rng = rng or np.random.default_rng()
+    segment_l = cfg.segment_length
+    start = max(round(start_s * sr), 0)
+    end_idx = round(end * sr) if end is not None else round(segment_l * sr) + start
+
+    sr_data_l = int(sr * segment_l)
+    missing = sr_data_l - (end_idx - start)
+    if missing > 0:
+        offset = int(rng.integers(0, missing)) if missing > 0 else 0
+        start = start - offset
+        if start <= 0:
+            start = 0
+            end_idx = min(start + sr_data_l, len(frames))
+        else:
+            end_offset = end_idx + missing - offset
+            if end_offset > len(frames):
+                end_offset = len(frames)
+                start = max(end_offset - sr_data_l, 0)
+            end_idx = end_offset
+    s_data = frames[start : int(segment_l * sr + start)]
+
+    if end_idx > len(frames) or start > len(frames):
+        over = (end_idx - len(frames)) / sr
+        if over >= 0.5:
+            raise ValueError("Out of frame bounds")
+
+    raw_length = len(s_data) / sr
+    if len(s_data) < sr_data_l:
+        extra = sr_data_l - len(s_data)
+        offset = int(rng.integers(0, extra)) if extra > 0 else 0
+        s_data = np.pad(s_data, (offset, extra - offset))
+    assert len(s_data) == sr_data_l
+
+    if s_data.max() == s_data.min():
+        raise ValueError("Max is min (constant window)")
+
+    spec = None
+    if store_spectrogram:
+        # reference stores |librosa.stft(normalized)| (audiodataset.py:1303)
+        from audio_training_tpu.detect.signals import _host_stft_mag
+
+        normed = np.asarray(normalize_waveform(s_data[None]))[0]
+        spec = _host_stft_mag(normed, cfg.n_fft, cfg.hop_length)
+    return SampleData(np.asarray(s_data, np.float32), raw_length, spec)
+
+
+def process_recording(
+    rec: Recording,
+    cfg: FeaturizerConfig,
+    store_spectrogram: bool = False,
+    check_duration: bool = True,
+) -> list[bytes]:
+    """Decode one recording and serialize its samples
+    (audiowriter.process_job + save_data, audiowriter.py:239-311,360-488)."""
+    frames, sr = load_recording(rec.filename, target_sr=cfg.sr)
+    if check_duration:
+        probed = probe_duration(rec.filename)
+        loaded = len(frames) / sr
+        if probed is not None and abs(probed - loaded) > 1.5:
+            raise ValueError(
+                f"duration mismatch for {rec.filename}: probe {probed:.1f}s "
+                f"vs decoded {loaded:.1f}s"
+            )
+    out = []
+    for sample in rec.samples:
+        try:
+            data = load_data(cfg, sample.start, frames, sr,
+                             end=sample.end,
+                             store_spectrogram=store_spectrogram)
+        except Exception as e:
+            log.warning("skipping sample %s: %s", sample, e)
+            continue
+        record = SampleRecord(
+            raw=data.raw,
+            tags=list(sample.tags),
+            text_tags=list(sample.text_tags),
+            rec_id=str(sample.rec_id),
+            track_ids=[str(t) for t in sample.track_ids],
+            sr=sr,
+            lat=(sample.location[0] if sample.location else 0.0) or 0.0,
+            lng=(sample.location[1] if sample.location else 0.0) or 0.0,
+            min_freq=-1 if sample.min_freq is None else sample.min_freq,
+            max_freq=-1 if sample.max_freq is None else sample.max_freq,
+            length=sample.length,
+            raw_length=data.raw_length,
+            start_s=sample.start,
+            signal_percent=sample.signal_percent or 0,
+            low_sample=int(bool(sample.low_sample)),
+            spectogram=data.spectogram,
+            mixed_label=sample.mixed_label,
+        )
+        out.append(encode_sample(record))
+    return out
+
+
+def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
+            shards_per_worker: int, store_spectrogram: bool):
+    """One writer process: round-robin over its own shard files
+    (audiowriter.py:239-311)."""
+    writers = [
+        TFRecordWriter(out_dir / f"{worker_i:02d}-{s}.tfrecord")
+        for s in range(shards_per_worker)
+    ]
+    i = 0
+    while True:
+        rec = job_queue.get()
+        if rec is None:
+            break
+        try:
+            for record in process_recording(
+                rec, cfg, store_spectrogram=store_spectrogram
+            ):
+                writers[i % shards_per_worker].write(record)
+                i += 1
+        except Exception:
+            log.error("error processing %s", rec.filename, exc_info=True)
+    for w in writers:
+        w.close()
+
+
+def create_tf_records(
+    dataset: AudioDataset,
+    out_dir: str | Path,
+    labels=None,
+    num_workers: int = 4,
+    shards_per_worker: int = 4,
+    cfg: FeaturizerConfig | None = None,
+    store_spectrogram: bool = False,
+) -> int:
+    """Write a dataset split to GZIP TFRecord shards
+    (audiowriter.create_tf_records, audiowriter.py:578-642)."""
+    cfg = cfg or FeaturizerConfig()
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    recs = list(dataset.recs.values())
+
+    if num_workers <= 1:
+        # in-process path (small datasets / tests)
+        writer = TFRecordWriter(out_dir / "00-0.tfrecord")
+        n = 0
+        for rec in recs:
+            try:
+                for record in process_recording(
+                    rec, cfg, store_spectrogram=store_spectrogram
+                ):
+                    writer.write(record)
+                    n += 1
+            except Exception:
+                log.error("error processing %s", rec.filename, exc_info=True)
+        writer.close()
+        return n
+
+    job_queue: multiprocessing.Queue = multiprocessing.Queue()
+    workers = [
+        multiprocessing.Process(
+            target=_worker,
+            args=(job_queue, out_dir, w, cfg, shards_per_worker,
+                  store_spectrogram),
+        )
+        for w in range(num_workers)
+    ]
+    for w in workers:
+        w.start()
+    for rec in recs:
+        job_queue.put(rec)
+    for _ in workers:
+        job_queue.put(None)
+    for w in workers:
+        w.join()
+    return len(recs)
