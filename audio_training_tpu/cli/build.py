@@ -1,0 +1,103 @@
+"""Dataset-build CLI — ``python -m audio_training_tpu.cli.build <dir> <out>``
+(reference: ``python build.py -d <raw_dir> <out_dir>``, build.py:679-814).
+
+Pipeline: load sidecar-metadata corpus -> per-label bin-aware split ->
+optional balancing -> leakage asserts -> GZIP TFRecord shards +
+training-meta.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+from audio_training_tpu.config import FeaturizerConfig, SamplingConfig
+from audio_training_tpu.corpus import (
+    AudioDataset,
+    create_tf_records,
+    oversample_ds,
+    split_by_file,
+    split_randomly,
+    undersample_ds,
+    validate_datasets,
+    write_training_meta,
+)
+from audio_training_tpu.utils import init_logging
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("out_dir", help="Output directory for training-data")
+    parser.add_argument("-d", "--dir", required=True, help="Raw corpus dir")
+    parser.add_argument("--no-test", action="count", help="No test set")
+    parser.add_argument("--split-file", default=None,
+                        help="Pinned rec-id split JSON")
+    parser.add_argument("--balance", action="count",
+                        help="Under+oversample training split")
+    parser.add_argument("-m", "--mels", default=160, type=int)
+    parser.add_argument("-b", "--break-freq", default=1000, type=float)
+    parser.add_argument("--hop-length", default=281, type=int)
+    parser.add_argument("--fmin", default=100, type=float)
+    parser.add_argument("--fmax", default=11000, type=float)
+    parser.add_argument("--seg-length", default=3, type=float)
+    parser.add_argument("--stride", default=1, type=float)
+    parser.add_argument("--dont-tighten-tracks", action="count")
+    parser.add_argument("--dont-filter-rms", action="count")
+    parser.add_argument("--store-spectrogram", action="count",
+                        help="Also store the magnitude STFT per record "
+                             "(byte parity with the reference; ~8x bigger)")
+    parser.add_argument("--workers", default=4, type=int)
+    parser.add_argument("--shards-per-worker", default=4, type=int)
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    init_logging()
+    args = parse_args(argv)
+    sampling = SamplingConfig(
+        tighten_tracks=not args.dont_tighten_tracks,
+        filter_rms=not args.dont_filter_rms,
+    )
+    featurizer = FeaturizerConfig(
+        n_mels=args.mels, break_freq=args.break_freq,
+        hop_length=args.hop_length, fmin=args.fmin, fmax=args.fmax,
+        segment_length=args.seg_length, segment_stride=args.stride,
+    )
+
+    dataset = AudioDataset("all", sampling,
+                           segment_length=args.seg_length,
+                           segment_stride=args.stride)
+    dataset.load_meta(args.dir)
+    logging.info("Loaded %s recordings, %s samples, labels %s",
+                 len(dataset.recs), len(dataset.samples),
+                 sorted(dataset.labels))
+
+    if args.split_file:
+        split = json.loads(Path(args.split_file).read_text())
+        datasets = split_by_file(dataset, split)
+    else:
+        datasets = split_randomly(dataset, no_test=bool(args.no_test))
+
+    if args.balance:
+        undersample_ds(datasets[0])
+        oversample_ds(dataset, datasets[0])
+
+    validate_datasets(datasets)
+
+    out = Path(args.out_dir) / "training-data"
+    for ds in datasets:
+        n = create_tf_records(
+            ds, out / ds.name, num_workers=args.workers,
+            shards_per_worker=args.shards_per_worker, cfg=featurizer,
+            store_spectrogram=bool(args.store_spectrogram),
+        )
+        logging.info("Wrote %s: %s records", ds.name, n)
+    write_training_meta(out, datasets, featurizer)
+    logging.info("Dataset build complete: %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,94 @@
+"""Evaluation CLI: weak-label directory eval + confusion compare
+(reference: evaluate.py + confusioncompare.py CLIs)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from audio_training_tpu.utils import init_logging
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    weak = sub.add_parser("weak", help="Evaluate a weakly-labelled directory")
+    weak.add_argument("model", help="Run/deployment dir")
+    weak.add_argument("dir", help="Directory of <label>/<audio> files")
+    weak.add_argument("-w", "--weights", default="val-loss")
+    weak.add_argument("--threshold", type=float, default=0.7)
+    weak.add_argument("--out", default="./confusions/weak")
+
+    comp = sub.add_parser("compare", help="Compare two confusion .npy files")
+    comp.add_argument("first_confusion")
+    comp.add_argument("second_confusion")
+
+    thr = sub.add_parser("thresholds",
+                         help="Best per-class thresholds from a raw dump")
+    thr.add_argument("raw_npy", help="<confusion>-raw.npy dump")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    init_logging()
+    args = parse_args(argv)
+    if args.cmd == "weak":
+        from audio_training_tpu.cli.predict import load_predictor
+        from audio_training_tpu.eval import evaluate_weakly_labelled_dir
+
+        predictor, _ = load_predictor(Path(args.model), args.weights)
+        result = evaluate_weakly_labelled_dir(
+            predictor, args.dir, out_prefix=args.out,
+            threshold=args.threshold,
+        )
+        correct = int(np.trace(result.mean_cm))
+        total = int(result.mean_cm.sum())
+        logging.info("mean-agg accuracy: %s/%s", correct, total)
+        return 0
+    if args.cmd == "compare":
+        import json
+
+        from audio_training_tpu.eval import compare_confusions
+
+        first = Path(args.first_confusion)
+        second = Path(args.second_confusion)
+        first_meta = json.loads((first.parent / "metadata.txt").read_text())
+        second_meta = json.loads((second.parent / "metadata.txt").read_text())
+        res = compare_confusions(
+            np.load(first), first_meta["ebird_labels"],
+            np.load(second), second_meta["ebird_labels"],
+        )
+        for label, d in res.per_label.items():
+            logging.info(
+                "%s: %s%% vs %s%% (diff %s, most wrong %s/%s)",
+                label, d["first_acc"], d["second_acc"], d["sample_diff"],
+                d["first_most_wrong"], d["second_most_wrong"],
+            )
+        logging.info(
+            "total diff %s (%.1f%%), incorrect score %.1f%%, winner: %s",
+            res.total_diff, res.accuracy_diff_percent,
+            res.incorrect_score_percent, res.winner,
+        )
+        return 0
+    if args.cmd == "thresholds":
+        from audio_training_tpu.eval import best_thresholds, load_raw_predictions
+
+        dump = load_raw_predictions(args.raw_npy)
+        th = best_thresholds(
+            (dump["y_true"] > 0.5).astype(int)
+            if dump["y_true"].ndim > 1
+            else np.eye(len(dump["labels"]))[dump["y_true"].astype(int)],
+            dump["y_pred"], dump["labels"],
+        )
+        for l, t in th.items():
+            logging.info("%s: %.3f", l, t)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Inference CLI — ``python -m audio_training_tpu.cli.predict --file x.wav
+<model_dir>`` (reference: ``python predict.py --file x.wav <model>``,
+predict.py:726-1019)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+from audio_training_tpu.utils import init_logging
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("model", help="Run/deployment directory")
+    parser.add_argument("--file", help="Audio file to predict")
+    parser.add_argument("-d", "--dir", help="Directory of files to predict")
+    parser.add_argument("-w", "--weights", default="val-loss",
+                        help="Checkpoint name within the run dir")
+    parser.add_argument("--threshold", type=float, default=0.7)
+    parser.add_argument("--aggregation", default="mean",
+                        choices=["mean", "max", "votes"])
+    parser.add_argument("--grid", default=None,
+                        help="species_per_square.json for geo masking")
+    parser.add_argument("--lat", type=float, default=None)
+    parser.add_argument("--lng", type=float, default=None)
+    parser.add_argument("--month", type=int, default=None)
+    parser.add_argument("--json-out", default=None,
+                        help="Write track predictions JSON here")
+    return parser.parse_args(argv)
+
+
+def load_predictor(model_dir: Path, weights: str, aggregation: str = "mean",
+                   threshold: float = 0.7):
+    """Reconstruct a Predictor from a run/deployment dir
+    (predict.py:743-816: model + metadata.txt)."""
+    import jax.numpy as jnp
+
+    from audio_training_tpu.config import InferenceConfig
+    from audio_training_tpu.infer.predictor import Predictor
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.train.checkpoints import load_state_dict
+    from audio_training_tpu.train.metadata import (
+        featurizer_from_metadata,
+        load_metadata,
+    )
+
+    meta = load_metadata(model_dir)
+    cfg = featurizer_from_metadata(meta)
+    labels = meta.get("ebird_labels", meta.get("labels"))
+    model_name = meta.get("name", "badwinner2")
+    multi_label = meta.get("multi_label", True)
+    spec = build_model(model_name, num_labels=len(labels), logits_only=True,
+                       multi_label=multi_label)
+
+    ckpt = model_dir / weights
+    if not ckpt.exists():
+        ckpt = model_dir / "audioModel"  # frozen deployment layout
+    if not ckpt.exists():
+        ckpt = model_dir / "chkpt"
+    payload = load_state_dict(ckpt)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    return Predictor(
+        spec.module, variables, labels, cfg,
+        InferenceConfig(threshold=threshold, aggregation=aggregation),
+        model_name=model_name,
+        channels=int(meta.get("channels", 1)),
+        mean_sub=bool(meta.get("mean_sub", False)),
+        db_scale=bool(meta.get("db_scale", False)),
+        multi_label=multi_label,
+    ), meta
+
+
+def predict_file(predictor, path: Path, grid_meta=None, lat=None, lng=None,
+                 month=None, threshold=0.7):
+    import numpy as np
+
+    from audio_training_tpu.corpus.audioio import load_recording
+    from audio_training_tpu.infer.ebirdgrid import apply_species_mask
+
+    frames, sr = load_recording(path, target_sr=predictor.cfg.sr)
+    tracks, results = predictor.predict_recording(frames, sr,
+                                                  threshold=threshold)
+    out = []
+    for t, r in zip(tracks, results):
+        meta = t.get_meta()
+        if r is not None and grid_meta is not None and lat is not None:
+            # re-apply the geo mask to the aggregated confidences
+            probs = np.zeros(len(predictor.labels), np.float32)
+            for l, c in zip(r.labels, r.confidences):
+                probs[predictor.labels.index(l)] = c / 100
+            masked = apply_species_mask(probs, predictor.labels, grid_meta,
+                                        lat, lng, month)
+            r.labels = [
+                predictor.labels[i] for i in np.flatnonzero(masked > 0)
+            ]
+            r.confidences = [
+                round(float(masked[i]) * 100)
+                for i in np.flatnonzero(masked > 0)
+            ]
+        out.append(meta)
+    return out
+
+
+def main(argv=None) -> int:
+    init_logging()
+    args = parse_args(argv)
+    model_dir = Path(args.model)
+    predictor, meta = load_predictor(model_dir, args.weights,
+                                     args.aggregation, args.threshold)
+    grid_meta = None
+    if args.grid:
+        grid_meta = json.loads(Path(args.grid).read_text())
+
+    files = []
+    if args.file:
+        files = [Path(args.file)]
+    elif args.dir:
+        d = Path(args.dir)
+        files = sorted(
+            f for f in d.iterdir()
+            if f.suffix.lower() in (".wav", ".mp3", ".m4a", ".flac")
+        )
+    else:
+        logging.error("Need --file or --dir")
+        return 1
+
+    all_results = {}
+    for f in files:
+        track_meta = predict_file(
+            predictor, f, grid_meta, args.lat, args.lng, args.month,
+            args.threshold,
+        )
+        all_results[str(f)] = track_meta
+        for tm in track_meta:
+            for p in tm["predictions"]:
+                logging.info(
+                    "%s track %.1f-%.1fs: %s %s",
+                    f.name, tm["start"], tm["end"],
+                    p["labels"] or p.get("raw_tag"),
+                    p["confidences"] or p.get("raw_confidence"),
+                )
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(all_results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

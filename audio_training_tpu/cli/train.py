@@ -1,0 +1,117 @@
+"""Training CLI — ``python -m audio_training_tpu.cli.train <run-name> -d
+<data>`` (reference: ``python audiomodel.py <run-name> -d <data>``,
+audiomodel.py:1985-2414)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+from audio_training_tpu.utils import init_logging
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("name", help="Run name")
+    parser.add_argument("-d", "--data-dir", required=True,
+                        help="training-data directory")
+    parser.add_argument("--second-dataset-dir", default=None)
+    parser.add_argument("--human-dataset-dir", default=None)
+    parser.add_argument("--extra-datasets", nargs="*", default=[])
+    parser.add_argument("--checkpoint-dir", default="./checkpoints")
+    parser.add_argument("--model-name", default="badwinner2")
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--multi-label", type=str2bool, default=True)
+    parser.add_argument("--use-generic-bird", type=str2bool, default=True)
+    parser.add_argument("--loss", default="bce",
+                        choices=["bce", "cce", "weighted_bce", "soft_f1",
+                                 "focal"])
+    parser.add_argument("--weighting", action="count",
+                        help="Use inverse-frequency class weights")
+    parser.add_argument("--lme", action="count")
+    parser.add_argument("--only-features", action="count")
+    parser.add_argument("--morepork-model", action="store_true")
+    parser.add_argument("--cross", action="count", help="5-fold CV")
+    parser.add_argument("-w", "--weights", default=None,
+                        help="Checkpoint to fine-tune from")
+    parser.add_argument("--mels", type=int, default=160)
+    parser.add_argument("--break-freq", type=float, default=1000)
+    parser.add_argument("--n-fft", type=int, default=4096)
+    parser.add_argument("--fmin", type=float, default=100)
+    parser.add_argument("--fmax", type=float, default=11000)
+    parser.add_argument("--data-shards", type=int, default=1,
+                        help="Data-parallel mesh size (chips)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("-c", "--config-file", default=None,
+                        help="JSON TrainConfig overrides")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    init_logging()
+    args = parse_args(argv)
+    from audio_training_tpu.config import config_from_dict
+    from audio_training_tpu.train.harness import cross_fold_train, train_run
+
+    n_mels = args.mels
+    if args.n_fft < 2048:
+        # low-nfft mel reduction (tfdataset.py:448-453)
+        n_mels = 96
+    featurizer = FeaturizerConfig(
+        n_mels=n_mels, break_freq=args.break_freq, n_fft=args.n_fft,
+        fmin=args.fmin, fmax=args.fmax,
+    )
+    cfg_kwargs = dict(
+        model_name=args.model_name, batch_size=args.batch_size,
+        learning_rate=args.lr, epochs=args.epochs,
+        multi_label=args.multi_label,
+        use_generic_bird=args.use_generic_bird, loss=args.loss,
+        use_weighting=bool(args.weighting),
+        num_data_shards=args.data_shards, seed=args.seed,
+    )
+    if args.config_file:
+        import json
+
+        cfg_kwargs.update(json.loads(Path(args.config_file).read_text()))
+    train_cfg = config_from_dict(TrainConfig, cfg_kwargs)
+
+    data_dirs = [args.data_dir]
+    if args.second_dataset_dir:
+        data_dirs.append(args.second_dataset_dir)
+    if args.human_dataset_dir:
+        data_dirs.append(args.human_dataset_dir)
+    data_dirs.extend(args.extra_datasets)
+
+    common = dict(
+        data_dirs=data_dirs,
+        checkpoint_root=args.checkpoint_dir,
+        train_cfg=train_cfg,
+        featurizer=featurizer,
+        steps_per_epoch=args.steps_per_epoch,
+        only_features=bool(args.only_features),
+        morepork_model=args.morepork_model,
+    )
+    if args.cross:
+        results = cross_fold_train(run_name=args.name, **common)
+        for r in results:
+            logging.info("fold %s: %s", r.run_dir, r.test_metrics)
+    else:
+        result = train_run(run_name=args.name, **common)
+        logging.info("Run complete: %s test=%s", result.run_dir,
+                     result.test_metrics)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

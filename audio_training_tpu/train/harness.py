@@ -1,0 +1,350 @@
+"""End-to-end training orchestration (audiomodel.AudioModel.train_model,
+audiomodel.py:405-567): label init from training-meta (+ second/extra/human
+dataset dirs), count-based label admission, dataset streams, model build,
+class weights, fit with the callback suite, test-set confusion, metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+from audio_training_tpu.data import (
+    build_training_stream,
+    get_weighting,
+    load_meta,
+    make_preprocess_fn,
+    weights_to_array,
+)
+from audio_training_tpu.eval.confusion import (
+    multi_label_confusion,
+    save_confusion,
+    save_raw_predictions,
+    single_label_confusion,
+)
+from audio_training_tpu.models import build_model
+from audio_training_tpu.parallel import make_mesh, replicated
+from audio_training_tpu.taxonomy.ebird import get_ebird_id
+from audio_training_tpu.taxonomy.labels import (
+    LabelSpace,
+    admit_labels_by_count,
+    build_label_space,
+    get_excluded_labels,
+)
+from audio_training_tpu.taxonomy.ontology import Ontology, load_ontology
+from audio_training_tpu.train.loop import fit
+from audio_training_tpu.train.metadata import save_metadata
+from audio_training_tpu.train.state import create_train_state, param_count
+from audio_training_tpu.train.step import make_predict_fn
+
+log = logging.getLogger(__name__)
+
+
+def init_labels(
+    data_dirs: list[Path],
+    ontology: Ontology | None = None,
+    use_generic_bird: bool = True,
+    only_features: bool = False,
+    morepork_model: bool = False,
+) -> tuple[LabelSpace, Ontology, dict]:
+    """Resolve the run's label space (audiomodel.init_labels,
+    audiomodel.py:1647-1776): union of dataset labels -> eBird ids ->
+    count-based admission -> exclusions (+merge-mode overrides)."""
+    ontology = ontology or load_ontology()
+    labels: set[str] = set()
+    meta = None
+    for d in data_dirs:
+        m = load_meta(d)
+        labels.update(m.get("labels", []))
+        ontology, _ = admit_labels_by_count(ontology, m)
+        if meta is None:
+            meta = m
+
+    labels = sorted({get_ebird_id(l) for l in labels})
+    if use_generic_bird and "bird" not in labels:
+        labels.append("bird")
+    labels.sort()
+
+    if only_features:
+        # merge everything into bird/animal/noise (audiomodel.py:1708-1732)
+        merge = {}
+        if "animal" not in labels:
+            labels.append("animal")
+        for l in labels:
+            if l == "bird":
+                continue
+            if l in ontology.all_birds:
+                merge[l] = "bird"
+            elif l in ontology.animal_labels:
+                merge[l] = "animal"
+            elif l == "insect" or l in ontology.noise_labels:
+                merge[l] = "noise"
+        ontology = ontology.with_relabel_map(merge)
+        excluded = ["false-positive"]
+    elif morepork_model:
+        # everything except morepork folds to bird/noise/human
+        # (audiomodel.py:1733-1767)
+        merge = {}
+        for l in labels:
+            if l in ("morepo2", "bird"):
+                continue
+            if l in ontology.all_birds:
+                merge[l] = "bird"
+            elif l in ontology.animal_labels or l == "insect" or (
+                l in ontology.insect_labels
+            ):
+                merge[l] = "noise"
+            elif l in ontology.noise_labels:
+                merge[l] = "noise"
+            elif l in ontology.human_labels:
+                merge[l] = "human"
+        ontology = ontology.with_relabel_map(merge)
+        excluded = ["false-positive"]
+    else:
+        excluded = get_excluded_labels(ontology, list(labels))
+        if use_generic_bird and "bird" in excluded:
+            excluded.remove("bird")
+        if not use_generic_bird:
+            excluded.append("bird")
+        # default path also drops standalone human/noise outputs
+        # (audiomodel.py:1768-1773)
+        for extra in ("human", "noise"):
+            if extra not in excluded:
+                excluded.append(extra)
+
+    space = build_label_space(
+        ontology, sorted(labels), excluded_labels=excluded,
+        use_generic_bird=use_generic_bird,
+    )
+    return space, ontology, meta or {}
+
+
+@dataclass
+class TrainRunResult:
+    run_dir: Path
+    labels: list[str]
+    history: dict
+    test_metrics: dict = field(default_factory=dict)
+
+
+def train_run(
+    data_dirs: list[str | Path],
+    run_name: str,
+    checkpoint_root: str | Path = "./checkpoints",
+    train_cfg: TrainConfig | None = None,
+    featurizer: FeaturizerConfig | None = None,
+    epochs: int | None = None,
+    steps_per_epoch: int | None = None,
+    ontology: Ontology | None = None,
+    confusion: bool = True,
+    keep_excluded: bool = False,
+    only_features: bool = False,
+    morepork_model: bool = False,
+) -> TrainRunResult:
+    """The full training pipeline on real shard data."""
+    train_cfg = train_cfg or TrainConfig()
+    cfg = featurizer or FeaturizerConfig()
+    data_dirs = [Path(d) for d in data_dirs]
+    run_dir = Path(checkpoint_root) / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    space, ontology, data_meta = init_labels(
+        data_dirs, ontology,
+        use_generic_bird=train_cfg.use_generic_bird,
+        only_features=only_features, morepork_model=morepork_model,
+    )
+    labels = list(space.labels)
+    log.info("Training %s on %s labels: %s", run_name, len(labels), labels)
+
+    # mesh + shardings
+    mesh = None
+    sharding = None
+    if train_cfg.num_data_shards > 1:
+        mesh = make_mesh(num_data=train_cfg.num_data_shards)
+        from audio_training_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+
+    channels = cfg.channels
+    pre_train = make_preprocess_fn(
+        cfg, augment=True, mixup_alpha=train_cfg.mixup_alpha,
+        mixup_chance=train_cfg.mixup_chance, channels=channels,
+    )
+    pre_eval = make_preprocess_fn(cfg, augment=False, channels=channels)
+
+    def train_batches(epoch):
+        loader = build_training_stream(
+            data_dirs, "train", space, cfg.samples_per_clip,
+            batch_size=train_cfg.batch_size, seed=train_cfg.seed + epoch,
+            augment=True, sharding=sharding,
+        )
+        yield from loader
+
+    def val_batches():
+        loader = build_training_stream(
+            data_dirs, "validation", space, cfg.samples_per_clip,
+            batch_size=train_cfg.batch_size, seed=train_cfg.seed,
+            augment=False, sharding=sharding,
+        )
+        yield from loader
+
+    # epoch size for steps_per_epoch
+    if steps_per_epoch is None:
+        total = 0
+        counts = data_meta.get("counts", {}).get("train", {}).get(
+            "sample_counts", {}
+        )
+        total = sum(counts.values())
+        if total:
+            steps_per_epoch = max(total // train_cfg.batch_size, 1)
+
+    # class weights (audiomodel.py:524-526)
+    class_weights = None
+    if train_cfg.use_weighting:
+        counts = data_meta.get("counts", {}).get("train", {}).get(
+            "sample_counts", {}
+        )
+        dist = np.array([counts.get(l, 0) for l in labels], np.float64)
+        w = get_weighting(dist, labels, cap_max=train_cfg.weight_max,
+                          cap_min=train_cfg.weight_min)
+        class_weights = jnp.asarray(weights_to_array(w, len(labels)))
+
+    # model
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
+    spec = build_model(
+        train_cfg.model_name, num_labels=len(labels),
+        multi_label=train_cfg.multi_label, logits_only=True, dtype=dtype,
+    )
+    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, channels), jnp.float32)
+    state = create_train_state(
+        spec.module, (mel0,), learning_rate=train_cfg.learning_rate,
+        seed=train_cfg.seed,
+    )
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+    log.info("Model %s has %s params", train_cfg.model_name,
+             param_count(state))
+
+    save_metadata(
+        run_dir, train_cfg.model_name, labels, cfg, ontology,
+        loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
+        use_generic_bird=train_cfg.use_generic_bird,
+        training_data_meta={
+            k: v for k, v in data_meta.items() if k in ("counts", "type")
+        },
+        extra={
+            "remapped_labels": {
+                l: int(space.remap[i])
+                for i, l in enumerate(space.source_labels)
+            },
+        },
+    )
+
+    result = fit(
+        state,
+        train_batches,
+        pre_train,
+        epochs=epochs or train_cfg.epochs,
+        steps_per_epoch=steps_per_epoch,
+        val_batches=val_batches,
+        val_preprocess=pre_eval,
+        loss_name=train_cfg.loss,
+        multi_label=train_cfg.multi_label,
+        label_smoothing=train_cfg.label_smoothing,
+        class_weights=class_weights,
+        run_dir=run_dir,
+        early_stop_patience=train_cfg.early_stop_patience,
+        reduce_lr_patience=train_cfg.reduce_lr_patience,
+        reduce_lr_factor=train_cfg.reduce_lr_factor,
+        seed=train_cfg.seed,
+    )
+
+    test_metrics: dict = {}
+    if confusion:
+        test_metrics = run_test_confusion(
+            result.state, spec, pre_eval, data_dirs, space, cfg, train_cfg,
+            run_dir,
+        )
+
+    save_metadata(
+        run_dir, train_cfg.model_name, labels, cfg, ontology,
+        loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
+        use_generic_bird=train_cfg.use_generic_bird,
+        history=result.history, test_results=test_metrics,
+        training_data_meta={
+            k: v for k, v in data_meta.items() if k in ("counts", "type")
+        },
+        extra={
+            "remapped_labels": {
+                l: int(space.remap[i])
+                for i, l in enumerate(space.source_labels)
+            },
+        },
+    )
+    return TrainRunResult(run_dir=run_dir, labels=labels,
+                          history=result.history, test_metrics=test_metrics)
+
+
+def run_test_confusion(state, spec, pre_eval, data_dirs, space, cfg,
+                       train_cfg, run_dir) -> dict:
+    """Held-out test confusion (audiomodel.py:566-595)."""
+    predict = make_predict_fn(multi_label=train_cfg.multi_label)
+    y_true_all, y_pred_all = [], []
+    try:
+        loader = build_training_stream(
+            data_dirs, "test", space, cfg.samples_per_clip,
+            batch_size=train_cfg.batch_size, augment=False,
+        )
+        for raw, y in loader:
+            mel, yy = pre_eval(raw, y)
+            y_pred_all.append(np.asarray(predict(state, mel)))
+            y_true_all.append(np.asarray(yy))
+    except (ValueError, FileNotFoundError):
+        log.info("No test split found")
+        return {}
+    if not y_true_all:
+        return {}
+    y_true = np.concatenate(y_true_all)
+    y_pred = np.concatenate(y_pred_all)
+    labels = list(space.labels)
+    save_raw_predictions(run_dir / "confusion", labels, y_pred, y_true)
+    if train_cfg.multi_label:
+        cm, none_cm, out_labels = multi_label_confusion(y_true, y_pred,
+                                                        labels)
+        save_confusion(cm, out_labels, run_dir / "confusion")
+        save_confusion(none_cm, out_labels, run_dir / "confusion-none")
+    else:
+        cm, out_labels = single_label_confusion(y_true, y_pred, labels)
+        save_confusion(cm, out_labels, run_dir / "confusion")
+    acc = float(
+        ((y_pred > 0.5) == (y_true > 0.5)).mean()
+    )
+    return {"test_acc": acc, "test_samples": int(len(y_true))}
+
+
+def cross_fold_train(
+    data_dirs, run_name, folds: int = 5, **kwargs
+) -> list[TrainRunResult]:
+    """K-fold cross validation (audiomodel.cross_fold_train,
+    audiomodel.py:181-401): each fold trains with a different stream seed and
+    its own run dir."""
+    results = []
+    for fold in range(folds):
+        cfg = kwargs.pop("train_cfg", None) or TrainConfig()
+        import dataclasses
+
+        fold_cfg = dataclasses.replace(cfg, seed=cfg.seed + fold * 1000)
+        results.append(
+            train_run(
+                data_dirs, f"{run_name}-fold{fold}", train_cfg=fold_cfg,
+                **kwargs,
+            )
+        )
+    return results

@@ -1,0 +1,143 @@
+"""CLI end-to-end: synthetic WAV corpus -> build -> train (2 epochs) ->
+freeze -> predict -> weak eval.  The full reference workflow at tiny scale."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_training_tpu.corpus.audioio import save_wav
+
+SR = 8000
+
+
+def write_corpus(root, n_recs=12):
+    rng = np.random.default_rng(0)
+    labels = ["kiwi", "morepork", "rain"]
+    freqs = {"kiwi": 1200, "morepork": 800, "rain": 3000}
+    for i in range(n_recs):
+        what = labels[i % 3]
+        dur = 8.0
+        audio = (0.05 * rng.standard_normal(int(dur * SR))).astype(np.float32)
+        t = np.arange(int(5 * SR)) / SR
+        tone = np.sin(2 * np.pi * freqs[what] * t).astype(np.float32)
+        audio[int(0.5 * SR) : int(5.5 * SR)] += tone
+        save_wav(root / f"rec{i}.wav", audio, SR)
+        meta = {
+            "id": f"rec{i}",
+            "duration": dur,
+            "Tracks": [{
+                "id": f"t{i}",
+                "start": 0.5,
+                "end": 5.5,
+                "tags": [{"what": what, "automatic": False}],
+            }],
+        }
+        (root / f"rec{i}.txt").write_text(json.dumps(meta))
+    return labels
+
+
+@pytest.fixture(scope="module")
+def built_dataset(tmp_path_factory):
+    from audio_training_tpu.cli.build import main as build_main
+
+    root = tmp_path_factory.mktemp("corpus")
+    out = tmp_path_factory.mktemp("out")
+    write_corpus(root)
+    rc = build_main([
+        str(out), "-d", str(root),
+        "--seg-length", "3", "--stride", "1",
+        "--mels", "96", "--fmin", "100", "--fmax", "3500",
+        "--hop-length", "100",
+        "--dont-tighten-tracks", "--dont-filter-rms",
+        "--workers", "1",
+    ])
+    assert rc == 0
+    data_dir = out / "training-data"
+    assert (data_dir / "training-meta.json").exists()
+    return data_dir
+
+
+def test_build_output_structure(built_dataset):
+    meta = json.loads((built_dataset / "training-meta.json").read_text())
+    assert set(meta["counts"]) == {"train", "validation", "test"}
+    assert (built_dataset / "train").glob("*.tfrecord")
+    # labels resolved to ebird ids
+    assert "morepo2" in meta["labels"]
+
+
+@pytest.fixture(scope="module")
+def trained_run(built_dataset, tmp_path_factory):
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.train.harness import train_run
+
+    ckpt_root = tmp_path_factory.mktemp("ckpt")
+    featurizer = FeaturizerConfig(
+        sr=SR, n_fft=512, hop_length=100, n_mels=96, fmin=100, fmax=3500,
+    )
+    cfg = TrainConfig(
+        model_name="badwinner2", batch_size=8, learning_rate=1e-3,
+        epochs=2, compute_dtype="float32",
+    )
+    result = train_run(
+        [built_dataset], "testrun", checkpoint_root=ckpt_root,
+        train_cfg=cfg, featurizer=featurizer, epochs=2, steps_per_epoch=4,
+    )
+    return result
+
+
+def test_train_run_outputs(trained_run):
+    run_dir = trained_run.run_dir
+    assert (run_dir / "metadata.txt").exists()
+    assert (run_dir / "chkpt").exists()
+    assert (run_dir / "history.json").exists()
+    meta = json.loads((run_dir / "metadata.txt").read_text())
+    assert meta["n_fft"] == 512
+    assert meta["ebird_labels"] == trained_run.labels
+    assert "history" in meta
+    assert "kiwi" in trained_run.labels and "bird" in trained_run.labels
+
+
+def test_freeze_and_predict(trained_run, tmp_path):
+    from audio_training_tpu.cli.freeze import main as freeze_main
+    from audio_training_tpu.cli.predict import load_predictor, predict_file
+
+    deploy = tmp_path / "deploy"
+    rc = freeze_main([str(trained_run.run_dir), str(deploy), "-w", "chkpt"])
+    assert rc == 0
+    assert (deploy / "audioModel").exists()
+
+    predictor, meta = load_predictor(deploy, "audioModel")
+    assert predictor.cfg.n_fft == 512
+
+    # synthetic recording with a strong tone
+    rng = np.random.default_rng(1)
+    t = np.arange(SR * 6) / SR
+    frames = (np.sin(2 * np.pi * 1200 * t) * (t < 3)).astype(np.float32)
+    frames += 0.01 * rng.standard_normal(len(frames)).astype(np.float32)
+    wav = tmp_path / "test.wav"
+    save_wav(wav, frames, SR)
+    track_meta = predict_file(predictor, wav)
+    assert isinstance(track_meta, list)
+    for tm in track_meta:
+        assert "start" in tm and "predictions" in tm
+
+
+def test_predict_cli_json_out(trained_run, tmp_path):
+    from audio_training_tpu.cli.predict import main as predict_main
+
+    rng = np.random.default_rng(2)
+    t = np.arange(SR * 5) / SR
+    frames = (np.sin(2 * np.pi * 900 * t) * (t % 3 < 1.5)).astype(np.float32)
+    frames += 0.02 * rng.standard_normal(len(frames)).astype(np.float32)
+    wav = tmp_path / "p.wav"
+    save_wav(wav, frames, SR)
+    out_json = tmp_path / "preds.json"
+    rc = predict_main([
+        str(trained_run.run_dir), "--file", str(wav), "-w", "chkpt",
+        "--json-out", str(out_json),
+    ])
+    assert rc == 0
+    assert out_json.exists()
+    data = json.loads(out_json.read_text())
+    assert str(wav) in data

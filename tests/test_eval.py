@@ -1,0 +1,116 @@
+"""Evaluation-layer tests: confusion construction, A/B compare, threshold
+search, raw dumps."""
+
+import numpy as np
+import pytest
+
+from audio_training_tpu.eval import (
+    apply_thresholds,
+    best_thresholds,
+    combine_pre_model,
+    compare_confusions,
+    confusion_matrix,
+    load_raw_predictions,
+    multi_label_confusion,
+    save_confusion,
+    save_raw_predictions,
+    single_label_confusion,
+)
+
+
+def test_single_label_confusion():
+    labels = ["a", "b"]
+    y_true = np.array([[1, 0], [0, 1], [1, 0]])
+    y_pred = np.array([[0.9, 0.1], [0.2, 0.8], [0.4, 0.3]])
+    cm, out_labels = single_label_confusion(y_true, y_pred, labels)
+    assert out_labels == ["a", "b", "None"]
+    assert cm[0, 0] == 1  # a correct
+    assert cm[1, 1] == 1  # b correct
+    assert cm[0, 2] == 1  # below threshold -> None
+
+
+def test_multi_label_confusion():
+    labels = ["bird", "kiwi", "noise"]
+    y_true = np.array([[1, 1, 0], [0, 0, 1]])
+    y_pred = np.array([[0.9, 0.8, 0.0], [0.0, 0.9, 0.1]])
+    cm, none_cm, out_labels = multi_label_confusion(y_true, y_pred, labels)
+    assert out_labels[-1] == "nothing"
+    # sample 1: bird and kiwi correct -> diagonal
+    assert cm[0, 0] == 1 and cm[1, 1] >= 1
+    # sample 2: kiwi falsely predicted, charged to true label noise
+    assert cm[2, 1] == 1
+    # noise missed -> nothing column
+    assert cm[2, -1] == 1
+
+
+def test_multi_label_near_miss_none_matrix():
+    labels = ["kiwi", "noise"]
+    y_true = np.array([[1, 0]])
+    y_pred = np.array([[0.1, 0.5]])  # nothing over 0.7; best is noise at 0.5
+    cm, none_cm, out_labels = multi_label_confusion(y_true, y_pred, labels)
+    assert none_cm[0, 1] == 1  # kiwi truth, confident-ish noise near-miss
+
+
+def test_compare_confusions_winner():
+    labels = ["kiwi", "rain", "None"]
+    first = np.array([[8, 1, 1], [1, 8, 1], [0, 0, 0]])
+    second = np.array([[5, 3, 2], [2, 6, 2], [0, 0, 0]])
+    res = compare_confusions(first, labels[:-1], second, labels[:-1])
+    assert res.winner == "first"
+    assert res.total_diff == 5
+    assert res.per_label["kiwi"]["first_acc"] == 80
+    assert res.per_label["kiwi"]["second_acc"] == 50
+
+
+def test_compare_requires_same_totals():
+    labels = ["kiwi"]
+    first = np.array([[5, 0]])
+    second = np.array([[3, 0]])
+    with pytest.raises(ValueError):
+        compare_confusions(first, labels, second, labels)
+
+
+def test_best_thresholds():
+    rng = np.random.default_rng(0)
+    n = 400
+    y_true = np.zeros((n, 2))
+    y_true[: n // 2, 0] = 1
+    y_true[n // 2 :, 1] = 1
+    # well-separated probabilities
+    y_pred = np.where(y_true == 1, 0.8, 0.2) + 0.05 * rng.standard_normal(
+        (n, 2)
+    )
+    th = best_thresholds(y_true, y_pred, ["a", "b"])
+    assert 0.5 <= th["a"] <= 0.9 and 0.5 <= th["b"] <= 0.9
+    decisions = apply_thresholds(y_pred, ["a", "b"], th)
+    acc = (decisions == y_true).mean()
+    assert acc > 0.9
+
+
+def test_combine_pre_model_gates_species():
+    species = np.array([[0.9, 0.8], [0.9, 0.8]])
+    pre = np.array([[0.1, 0.0, 0.9], [0.9, 0.0, 0.05]])  # bird,human,noise
+    out = combine_pre_model(species, ["kiwi", "tui1"], pre,
+                            ["bird", "human", "noise"])
+    np.testing.assert_allclose(out[0], [0, 0])  # noise-gated
+    np.testing.assert_allclose(out[1], [0.9, 0.8])  # bird clip untouched
+
+
+def test_raw_predictions_roundtrip(tmp_path):
+    labels = ["a", "b"]
+    y_pred = np.random.default_rng(0).random((5, 2)).astype(np.float32)
+    y_true = np.eye(5, 2, dtype=np.float32)
+    f = save_raw_predictions(tmp_path / "conf", labels, y_pred, y_true,
+                             tracks=[1, 2, 3, 4, 5])
+    back = load_raw_predictions(f)
+    assert back["labels"] == labels
+    np.testing.assert_array_equal(back["y_pred"], y_pred)
+    assert list(back["tracks"]) == [1, 2, 3, 4, 5]
+
+
+def test_save_confusion_outputs(tmp_path):
+    cm = np.array([[3, 1], [0, 4]])
+    save_confusion(cm, ["x", "y"], tmp_path / "c", render=True)
+    assert (tmp_path / "c.npy").exists()
+    assert (tmp_path / "c.png").exists()
+    np.testing.assert_array_equal(np.load(tmp_path / "c.npy"), cm)
