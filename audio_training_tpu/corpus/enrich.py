@@ -1,0 +1,231 @@
+"""Offline metadata enrichment: per-track band-limited RMS arrays and
+signal spans (otherdata.py:1047-1396 capability parity).
+
+These sidecar-metadata additions are what the corpus model's RMS
+tighten/filter (audiodataset.Track.tighten_track) and signal-percent logic
+consume.  Bands: noise <500 Hz, bird >=500 Hz (species-specific caps for
+bittern/morepork), upper >3 kHz broadband reference.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from audio_training_tpu.corpus.audioio import load_recording
+from audio_training_tpu.corpus.dataset import Track
+from audio_training_tpu.detect.signals import _host_stft_mag, signal_noise
+
+log = logging.getLogger(__name__)
+
+N_FFT = 4096
+HOP = 281
+
+MIN_NOISE_MAX_FREQ = 100  # bittern band floor
+NOISE_MAX_FREQ = 500
+MOREPORK_MAX_FREQ = 1200
+BITTERN_MAX_FREQ = 500
+UPPER_MAX_FREQ = 3000
+
+
+def band_rms(mag: np.ndarray, lo_bin: int | None, hi_bin: int | None,
+             n_fft: int = N_FFT) -> np.ndarray:
+    """Per-frame RMS of a band-limited magnitude spectrogram (equivalent of
+    zeroing stft rows then librosa.feature.rms, otherdata.py:1242-1275).
+
+    Parseval: mean(x^2) over a frame equals (|X0|^2 + 2*sum|Xk|^2 +
+    |X_N/2|^2) / N^2 for a one-sided spectrum.
+    """
+    power = mag.astype(np.float64) ** 2
+    weights = np.full(power.shape[0], 2.0)
+    weights[0] = 1.0
+    weights[-1] = 1.0
+    if lo_bin is not None:
+        power[:lo_bin] = 0
+    if hi_bin is not None:
+        power[hi_bin:] = 0
+    energy = (power * weights[:, None]).sum(axis=0)
+    return np.sqrt(energy / (n_fft**2))
+
+
+def add_rms_data_to_tracks(y: np.ndarray, sr: int, tracks: list[dict]) -> None:
+    """Attach upper/noise/bird RMS arrays to raw track metadata dicts
+    (otherdata.add_rms_data_to_tracks, otherdata.py:1198-1279)."""
+    freqs = np.linspace(0, sr / 2, 1 + N_FFT // 2)
+    min_noise_bin = int(np.searchsorted(freqs, MIN_NOISE_MAX_FREQ) - 1)
+    lower_noise_bin = int(np.searchsorted(freqs, NOISE_MAX_FREQ) - 1)
+    morepork_upper_bin = int(np.searchsorted(freqs, MOREPORK_MAX_FREQ))
+    bittern_upper_bin = int(np.searchsorted(freqs, BITTERN_MAX_FREQ))
+    upper_noise_bin = int(np.searchsorted(freqs, UPPER_MAX_FREQ, "right"))
+
+    for t in tracks:
+        track = Track(t, None, 0, None, tighten=False, filter_rms=False)
+        frames = y[int(sr * track.start) : int(sr * track.end)]
+        if frames.size < N_FFT:
+            frames = np.pad(frames, (0, N_FFT - frames.size))
+        mag = _host_stft_mag(frames, N_FFT, HOP)
+
+        noise_rms = band_rms(mag, None, lower_noise_bin + 1)
+        upper_rms = band_rms(mag, upper_noise_bin, None)
+        t["upper_noise_bin"] = upper_noise_bin
+
+        lower_bin = lower_noise_bin
+        upper_bin = None
+        if "ausbit1" in track.human_tags:
+            upper_bin = bittern_upper_bin
+            lower_bin = min_noise_bin
+        if "morepo2" in track.human_tags:
+            upper_bin = morepork_upper_bin
+        t["lower_nose_bin"] = lower_bin + 1
+        t["bird_rms_bin"] = (
+            [lower_bin + 1, upper_bin] if upper_bin is not None
+            else [lower_bin + 1]
+        )
+        bird_rms = band_rms(mag, lower_bin, upper_bin)
+        t["upper_rms"] = upper_rms.tolist()
+        t["noise_rms"] = noise_rms.tolist()
+        t["bird_rms"] = bird_rms.tolist()
+        t["rms_hop_length"] = HOP
+        t["rms_sr"] = sr
+
+
+def process_rms(metadata_file: str | Path, target_sr: int = 48000) -> bool:
+    """Enrich one sidecar file in place (otherdata.process_rms,
+    otherdata.py:1153-1195)."""
+    metadata_file = Path(metadata_file).with_suffix(".txt")
+    try:
+        meta = (
+            json.loads(metadata_file.read_text())
+            if metadata_file.exists() else {}
+        )
+        audio = None
+        for suffix in (".m4a", ".wav", ".mp3", ".flac"):
+            cand = metadata_file.with_suffix(suffix)
+            if cand.exists():
+                audio = cand
+                break
+        if audio is None:
+            return False
+        tracks = meta.get("Tracks", [])
+        if any("upper_rms" in t for t in tracks):
+            return False  # already enriched
+        y, sr = load_recording(audio, target_sr=target_sr)
+        add_rms_data_to_tracks(y, sr, tracks)
+        meta["file"] = str(audio)
+        meta["rms_version"] = 1.1
+        metadata_file.write_text(json.dumps(meta, indent=4))
+        return True
+    except Exception:
+        log.error("Error processing %s", metadata_file, exc_info=True)
+        return False
+
+
+def add_signal_meta(metadata_file: str | Path, target_sr: int = 48000) -> bool:
+    """Attach detected signal spans [start, end, freq_lo, freq_hi] to the
+    sidecar (otherdata.add_signal_meta / process_signal,
+    otherdata.py:1282-1395)."""
+    metadata_file = Path(metadata_file).with_suffix(".txt")
+    try:
+        meta = (
+            json.loads(metadata_file.read_text())
+            if metadata_file.exists() else {}
+        )
+        if "signal" in meta:
+            return False
+        audio = None
+        for suffix in (".m4a", ".wav", ".mp3", ".flac"):
+            cand = metadata_file.with_suffix(suffix)
+            if cand.exists():
+                audio = cand
+                break
+        if audio is None:
+            return False
+        y, sr = load_recording(audio, target_sr=target_sr)
+        signals, _ = signal_noise(y, sr)
+        meta["signal"] = [
+            [s.start, s.end, s.freq_start, s.freq_end] for s in signals
+        ]
+        meta["signal_version"] = 1
+        metadata_file.write_text(json.dumps(meta, indent=4))
+        return True
+    except Exception:
+        log.error("Error adding signal meta to %s", metadata_file,
+                  exc_info=True)
+        return False
+
+
+def generate_tracks(metadata_file: str | Path, target_sr: int = 48000,
+                    segment_length: float = 3.0) -> bool:
+    """Score the best 3 s segment per detected signal region and write track
+    entries for untracked recordings (otherdata.generate_tracks,
+    otherdata.py:1442-1545 capability)."""
+    from audio_training_tpu.detect.signals import get_end, get_tracks_from_signals
+
+    metadata_file = Path(metadata_file).with_suffix(".txt")
+    try:
+        meta = (
+            json.loads(metadata_file.read_text())
+            if metadata_file.exists() else {}
+        )
+        if meta.get("Tracks"):
+            return False
+        audio = None
+        for suffix in (".m4a", ".wav", ".mp3", ".flac"):
+            cand = metadata_file.with_suffix(suffix)
+            if cand.exists():
+                audio = cand
+                break
+        if audio is None:
+            return False
+        y, sr = load_recording(audio, target_sr=target_sr)
+        end = get_end(y, sr)
+        signals, _ = signal_noise(y, sr)
+        tracks = get_tracks_from_signals(signals, end)
+        label = meta.get("label")
+        meta["Tracks"] = [
+            {
+                "id": f"gen-{i}",
+                "start": t.start,
+                "end": t.end,
+                "minFreq": t.freq_start,
+                "maxFreq": t.freq_end,
+                "automatic": True,
+                "tags": (
+                    [{"what": label, "automatic": False}] if label else []
+                ),
+            }
+            for i, t in enumerate(tracks)
+        ]
+        metadata_file.write_text(json.dumps(meta, indent=4))
+        return True
+    except Exception:
+        log.error("Error generating tracks for %s", metadata_file,
+                  exc_info=True)
+        return False
+
+
+def enrich_folder(folder: str | Path, rms: bool = True, signal: bool = True,
+                  gen_tracks: bool = False, workers: int = 1) -> int:
+    """Run enrichment over every sidecar in a tree (the reference drives
+    this with an 8-proc pool, otherdata.py:1073-1074)."""
+    files = sorted(Path(folder).glob("**/*.txt"))
+
+    def work(f):
+        n = 0
+        if gen_tracks and generate_tracks(f):
+            n += 1
+        if rms and process_rms(f):
+            n += 1
+        if signal and add_signal_meta(f):
+            n += 1
+        return n
+
+    if workers <= 1:
+        return sum(work(f) for f in files)
+    from multiprocessing import Pool
+
+    with Pool(workers) as pool:
+        return sum(pool.map(work, files))

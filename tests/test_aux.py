@@ -1,0 +1,329 @@
+"""Tests for auxiliary components: metadata enrichment, external corpus
+ingestion, corpus tools, embeddings pipeline, offline mixup writer, denoise,
+profiling, pipeline checker."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_training_tpu.corpus.audioio import save_wav
+
+SR = 8000
+
+
+def tone_wav(path, freq=1000, dur=4.0, sr=SR, noise=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(dur * sr)) / sr
+    x = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    x += noise * rng.standard_normal(len(x)).astype(np.float32)
+    save_wav(path, x, sr)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Enrichment
+# ---------------------------------------------------------------------------
+
+
+def test_band_rms_parseval():
+    from audio_training_tpu.corpus.enrich import band_rms
+    from audio_training_tpu.detect.signals import _host_stft_mag
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(48000).astype(np.float32)
+    mag = _host_stft_mag(x, 4096, 281)
+    rms = band_rms(mag, None, None)
+    # full-band rms should approximate the windowed signal rms scale
+    assert rms.shape[0] == mag.shape[1]
+    assert 0.05 < rms.mean() < 2.0
+
+
+def test_process_rms_enriches_sidecar(tmp_path):
+    from audio_training_tpu.corpus.enrich import process_rms
+
+    tone_wav(tmp_path / "r.wav", freq=900, dur=4.0)
+    meta = {
+        "id": "r",
+        "Tracks": [{"id": "t0", "start": 0.5, "end": 3.5,
+                    "tags": [{"what": "morepork", "automatic": False}]}],
+    }
+    (tmp_path / "r.txt").write_text(json.dumps(meta))
+    assert process_rms(tmp_path / "r.txt", target_sr=SR)
+    enriched = json.loads((tmp_path / "r.txt").read_text())
+    t = enriched["Tracks"][0]
+    assert "bird_rms" in t and "noise_rms" in t and "upper_rms" in t
+    assert len(t["bird_rms"]) > 10
+    # morepork band cap applied (otherdata.py:1262-1264)
+    assert len(t["bird_rms_bin"]) == 2
+    # second call is a no-op
+    assert not process_rms(tmp_path / "r.txt", target_sr=SR)
+
+
+def test_add_signal_meta(tmp_path):
+    from audio_training_tpu.corpus.enrich import add_signal_meta
+
+    tone_wav(tmp_path / "s.wav", freq=2000, dur=5.0, noise=0.005)
+    (tmp_path / "s.txt").write_text(json.dumps({"id": "s"}))
+    assert add_signal_meta(tmp_path / "s.txt", target_sr=SR)
+    meta = json.loads((tmp_path / "s.txt").read_text())
+    assert meta["signal"]
+    s = meta["signal"][0]
+    assert s[2] < 2000 < s[3]  # frequency box contains the tone
+
+
+def test_generate_tracks(tmp_path):
+    from audio_training_tpu.corpus.enrich import generate_tracks
+
+    x = np.zeros(int(6 * SR), np.float32)
+    t = np.arange(int(1.5 * SR)) / SR
+    x[SR : SR + len(t)] = np.sin(2 * np.pi * 1500 * t)
+    x += 0.005 * np.random.default_rng(0).standard_normal(len(x)).astype(
+        np.float32
+    )
+    save_wav(tmp_path / "g.wav", x, SR)
+    (tmp_path / "g.txt").write_text(json.dumps({"id": "g", "label": "kiwi"}))
+    assert generate_tracks(tmp_path / "g.txt", target_sr=SR)
+    meta = json.loads((tmp_path / "g.txt").read_text())
+    assert meta["Tracks"]
+    assert meta["Tracks"][0]["tags"][0]["what"] == "kiwi"
+
+
+# ---------------------------------------------------------------------------
+# External corpora
+# ---------------------------------------------------------------------------
+
+
+def test_csv_dataset(tmp_path):
+    from audio_training_tpu.corpus.otherdata import csv_dataset
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    tone_wav(audio_dir / "a.wav")
+    tone_wav(audio_dir / "b.wav", freq=500)
+    csv_file = tmp_path / "meta.csv"
+    csv_file.write_text("filename,category\na.wav,rain\nb.wav,wind\n")
+    out = tmp_path / "out"
+    n = csv_dataset(csv_file, audio_dir, out)
+    assert n == 2
+    meta = json.loads((out / "a.txt").read_text())
+    assert meta["Tracks"][0]["tags"][0]["what"] == "rain"
+
+
+def test_tier1_data(tmp_path):
+    from audio_training_tpu.corpus.otherdata import tier1_data
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    tone_wav(audio_dir / "x.wav", dur=6.0)
+    ann = tmp_path / "ann.csv"
+    ann.write_text(
+        "Filename,Label,Starttime,Endtime\n"
+        "x.wav,kiwi,1.0,2.5\nx.wav,kiwi,4.0,5.0\n"
+    )
+    out = tmp_path / "out"
+    n = tier1_data(ann, audio_dir, out)
+    assert n == 1
+    meta = json.loads((out / "x.txt").read_text())
+    assert len(meta["Tracks"]) == 2
+    assert meta["Tracks"][0]["start"] == 1.0
+
+
+def test_folder_dataset(tmp_path):
+    from audio_training_tpu.corpus.otherdata import folder_dataset
+
+    (tmp_path / "kiwi").mkdir()
+    tone_wav(tmp_path / "kiwi" / "a.wav")
+    n = folder_dataset(tmp_path)
+    assert n == 1
+    meta = json.loads((tmp_path / "kiwi" / "a.txt").read_text())
+    assert meta["Tracks"][0]["tags"][0]["what"] == "kiwi"
+
+
+def test_mix_noise_snr():
+    from audio_training_tpu.corpus.otherdata import mix_noise
+
+    rng = np.random.default_rng(0)
+    sig = np.sin(2 * np.pi * 440 * np.arange(SR) / SR).astype(np.float32)
+    noise = rng.standard_normal(SR // 2).astype(np.float32)
+    mixed = mix_noise(sig, noise, snr_db=10.0, rng=rng)
+    assert mixed.shape == sig.shape
+    added = mixed - sig
+    snr = 10 * np.log10((sig**2).mean() / (added**2).mean())
+    assert snr == pytest.approx(10.0, abs=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Tools
+# ---------------------------------------------------------------------------
+
+
+def test_split_audio_files(tmp_path):
+    from audio_training_tpu.corpus.tools import split_audio_files
+
+    tone_wav(tmp_path / "long.wav", dur=10.0)
+    (tmp_path / "long.txt").write_text(json.dumps({"id": "long"}))
+    out = tmp_path / "chunks"
+    n = split_audio_files(tmp_path, out, chunk_seconds=4.0)
+    assert n == 3  # 4+4+2
+    meta = json.loads((out / "long-001.txt").read_text())
+    assert meta["chunk_start"] == pytest.approx(4.0)
+
+
+def test_export_anonymized_metadata(tmp_path):
+    from audio_training_tpu.corpus.tools import export_anonymized_metadata
+
+    meta = {
+        "id": "r1", "deviceId": 42, "groupId": 7, "duration": 10,
+        "location": {"lat": -41.2865, "lng": 174.7762},
+        "Tracks": [{"start": 0, "end": 2,
+                    "tags": [{"what": "kiwi"}]}],
+    }
+    (tmp_path / "r1.txt").write_text(json.dumps(meta))
+    out = tmp_path / "anon"
+    n = export_anonymized_metadata(tmp_path, out)
+    assert n == 1
+    anon = json.loads((out / "r1.json").read_text())
+    assert anon["location"]["lat"] == pytest.approx(-41.3)  # fuzzed to 0.1
+    assert anon["device_uid"] != "42" and len(anon["device_uid"]) == 12
+    assert anon["tracks"][0]["tags"] == ["kiwi"]
+
+
+def test_audio_database(tmp_path):
+    from audio_training_tpu.corpus.tools import AudioDatabase
+
+    db = AudioDatabase(tmp_path / "recs.h5")
+    assert not db.has_rec("r1")
+    frames = np.arange(100, dtype=np.float32)
+    db.add_rec("r1", frames, SR, {"label": "kiwi"})
+    assert db.has_rec("r1")
+    got, sr, meta = db.get_rec("r1")
+    np.testing.assert_array_equal(got, frames)
+    assert sr == SR and meta["label"] == "kiwi"
+
+
+def test_label_tools():
+    from audio_training_tpu.corpus.tools import (
+        counts_vs_accuracy,
+        label_set_diff,
+        labels_to_api_names,
+    )
+
+    d = label_set_diff(["a", "b"], ["b", "c"])
+    assert d == {"only_first": ["a"], "only_second": ["c"], "common": ["b"]}
+    names = labels_to_api_names(["morepo2"])
+    assert names[0]  # resolved to some common name
+    cm = np.array([[8, 2], [1, 9]])
+    rows = counts_vs_accuracy(["x", "y"], {"x": 100}, cm)
+    assert rows[0]["accuracy"] == 0.8
+
+
+# ---------------------------------------------------------------------------
+# Embedding pipeline + offline mixup
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_stream(tmp_path):
+    from audio_training_tpu.data import SampleRecord, encode_sample, write_tfrecords
+    from audio_training_tpu.data.embeddings import EmbeddingStream, resample_per_label
+    from audio_training_tpu.taxonomy.labels import build_label_space
+    from audio_training_tpu.taxonomy.ontology import load_ontology
+
+    rng = np.random.default_rng(0)
+    recs = []
+    for i in range(6):
+        recs.append(encode_sample(SampleRecord(
+            raw=np.zeros(10, np.float32),
+            tags=["kiwi" if i % 2 else "morepo2"],
+            embeddings=rng.standard_normal(1280).astype(np.float32),
+            logits=np.zeros(4, np.float32),
+        )))
+    write_tfrecords(tmp_path / "e.tfrecord", recs)
+    space = build_label_space(load_ontology(), ["bird", "kiwi", "morepo2"])
+    stream = EmbeddingStream([tmp_path / "e.tfrecord"], space)
+    items = list(stream)
+    assert len(items) == 6
+    emb, y = items[0]
+    assert emb.shape == (1280,)
+    assert y.sum() >= 1
+    resampled = resample_per_label(items, target=4, seed=0)
+    assert len(resampled) > 0
+
+
+def test_create_augmented_set(tmp_path):
+    from audio_training_tpu.data import SampleRecord, encode_sample, write_tfrecords
+    from audio_training_tpu.data.augmented import create_augmented_set
+    from audio_training_tpu.data import read_tfrecords, decode_sample
+
+    rng = np.random.default_rng(0)
+    recs = [
+        encode_sample(SampleRecord(
+            raw=rng.standard_normal(1000).astype(np.float32),
+            tags=[tag], rec_id=f"r{i}",
+        ))
+        for i, tag in enumerate(["kiwi", "morepo2", "rain", "noise"])
+    ]
+    src = tmp_path / "src.tfrecord"
+    write_tfrecords(src, recs)
+    out = tmp_path / "mixed"
+    n = create_augmented_set([src], out, seed=1)
+    assert n > 0
+    shard = next(out.glob("*.tfrecord"))
+    mixed = decode_sample(next(iter(read_tfrecords(shard))))
+    assert mixed.raw.size == 1000
+
+
+# ---------------------------------------------------------------------------
+# Denoise / profiling / checker
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_gate_reduces_noise():
+    from audio_training_tpu.ops.denoise import spectral_gate
+
+    rng = np.random.default_rng(0)
+    t = np.arange(SR * 2) / SR
+    # intermittent chirp (quiet frames exist for the noise profile)
+    clean = (np.sin(2 * np.pi * 800 * t) * (t % 1.0 < 0.4)).astype(np.float32)
+    noisy = clean + 0.1 * rng.standard_normal(len(t)).astype(np.float32)
+    out = np.asarray(spectral_gate(noisy[None], n_fft=512, hop=128))[0]
+    # residual off-tone energy should drop
+    spec_noisy = np.abs(np.fft.rfft(noisy))
+    spec_out = np.abs(np.fft.rfft(out))
+    freqs = np.fft.rfftfreq(len(noisy), 1 / SR)
+    off_band = (freqs < 600) | (freqs > 1000)
+    assert spec_out[off_band].sum() < 0.6 * spec_noisy[off_band].sum()
+    tone_bin = np.argmin(abs(freqs - 800))
+    assert spec_out[tone_bin] > 0.5 * spec_noisy[tone_bin]
+
+
+def test_time_fn_and_memory():
+    import jax.numpy as jnp
+
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.train import create_train_state
+    from audio_training_tpu.utils.profiling import state_memory_bytes, time_fn
+
+    stats = time_fn(lambda x: (x * 2).sum(), jnp.ones((100,)), iters=3)
+    assert stats["mean_ms"] > 0
+    spec = build_model("embeddings", num_labels=4)
+    state = create_train_state(spec.module, (jnp.zeros((1, 16)),))
+    mem = state_memory_bytes(state)
+    assert mem["params_bytes"] > 0
+    assert mem["total_bytes"] >= mem["params_bytes"]
+
+
+def test_check_pipeline():
+    from audio_training_tpu.utils.debug import check_pipeline
+
+    good = np.zeros((2, 10), np.float32)
+    good[:, 0] = 1.0
+    bad = np.full((1, 10), np.nan, np.float32)
+    y = np.eye(2, 3, dtype=np.float32)
+    res = check_pipeline(
+        [(good, y), (bad, y[:1])], ["a", "b", "c"],
+    )
+    assert res.checked == 3
+    assert res.nan_count == 1
+    assert not res.ok
+    assert res.label_counts.get("a") == 2  # one per batch
