@@ -73,12 +73,23 @@ class Predictor:
         self.mean_sub = mean_sub
         self.db_scale = db_scale
         self.multi_label = multi_label
-        self._mel_w_t = jnp.asarray(build_mel_weights(cfg)).T
+        mel_w = build_mel_weights(cfg)
+        self._mel_w_t = jnp.asarray(mel_w).T
+        # centered (librosa) convention via the matmul-FFT plan when the
+        # geometry allows it; otherwise the rfft path
+        self._mel_plan = None
+        if cfg.n_fft == 4096:
+            from audio_training_tpu.ops.fftmel import MatmulMelPlan
+
+            self._mel_plan = MatmulMelPlan(
+                mel_w, cfg.n_fft, cfg.hop_length, center=True
+            )
         self._infer = self._build_infer()
 
     def _build_infer(self):
         cfg = self.cfg
         mel_w_t = self._mel_w_t
+        mel_plan = self._mel_plan
         channels = self.channels
         mean_sub = self.mean_sub
         db_scale = self.db_scale
@@ -89,13 +100,16 @@ class Predictor:
             # inference featurizer convention (predict_utils.get_spect):
             # per-window min-max normalize, centered stft, power-2 mel
             raw = normalize_rows(raw)
-            spec = stft_centered(raw, cfg.n_fft, cfg.hop_length)  # (B,F,T)
-            spec_t = jnp.swapaxes(spec, 1, 2)
-            mel_tm = fused_power_mel(
-                jnp.real(spec_t), jnp.imag(spec_t), mel_w_t,
-                interpret=default_interpret(),
-            )
-            mel = jnp.swapaxes(mel_tm, 1, 2)  # (B, M, T)
+            if mel_plan is not None:
+                mel = mel_plan(raw)  # (B, M, T), matmul-FFT
+            else:
+                spec = stft_centered(raw, cfg.n_fft, cfg.hop_length)
+                spec_t = jnp.swapaxes(spec, 1, 2)
+                mel_tm = fused_power_mel(
+                    jnp.real(spec_t), jnp.imag(spec_t), mel_w_t,
+                    interpret=default_interpret(),
+                )
+                mel = jnp.swapaxes(mel_tm, 1, 2)  # (B, M, T)
             if db_scale:
                 from audio_training_tpu.ops.features import power_to_db
 

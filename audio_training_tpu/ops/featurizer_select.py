@@ -1,0 +1,65 @@
+"""Featurizer backend selection.
+
+Three implementations of waveform -> (B, M, T) mel power (tf-stft
+convention), fastest first:
+
+* ``fused_pallas`` — single Pallas kernel (framing+FFT+mel in VMEM); needs
+  n_fft=4096 and filterbank support within the first 1024 bins.
+* ``matmul`` — radix-64 matmul-FFT in XLA; needs n_fft=4096.
+* ``rfft`` — gather-free framing + jnp.fft.rfft + fused power/mel; works for
+  any geometry (and on CPU without interpret overhead).
+
+``auto`` picks the fastest valid one for the current backend.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_training_tpu.config import FeaturizerConfig
+from audio_training_tpu.ops.features import build_mel_weights
+
+
+def make_mel_fn(
+    cfg: FeaturizerConfig,
+    mel_weights: np.ndarray | None = None,
+    backend: str = "auto",
+) -> Callable[[jax.Array], jax.Array]:
+    """Returns fn(raw (B, n)) -> (B, n_mels, frames) float32 mel power."""
+    w = mel_weights if mel_weights is not None else build_mel_weights(cfg)
+    radix_ok = cfg.n_fft == 4096
+
+    if backend == "auto":
+        # NOTE: "fused_pallas" stays opt-in — the current Mosaic release
+        # cannot lower the kernel's lane-dimension reshape ("unsupported
+        # shape cast"); the XLA matmul-FFT is the fastest compiling path.
+        backend = "matmul" if radix_ok else "rfft"
+
+    if backend == "fused_pallas":
+        from audio_training_tpu.ops.pallas.fftmel_kernel import FusedFFTMelPlan
+
+        plan = FusedFFTMelPlan(w, cfg.n_fft, cfg.hop_length)
+        return lambda raw: plan(raw)
+    if backend == "matmul":
+        from audio_training_tpu.ops.fftmel import MatmulMelPlan
+
+        plan = MatmulMelPlan(w, cfg.n_fft, cfg.hop_length)
+        return plan
+    if backend == "rfft":
+        from audio_training_tpu.ops.stft import stft_tf_style
+
+        w_dev = jnp.asarray(w)
+
+        def rfft_mel(raw):
+            spec = stft_tf_style(raw, cfg.n_fft, cfg.hop_length)
+            p = spec.real**2 + spec.imag**2
+            return jnp.einsum(
+                "mf,btf->bmt", w_dev, p, preferred_element_type=jnp.float32
+            )
+
+        return rfft_mel
+    raise ValueError(f"unknown featurizer backend {backend}")

@@ -40,6 +40,25 @@ def num_frames_centered(n_samples: int, hop: int) -> int:
     return 1 + n_samples // hop
 
 
+def _frame(x: jax.Array, frames: int, n_fft: int, hop: int) -> jax.Array:
+    """Extract (..., frames, n_fft) windows starting at t*hop.
+
+    TPU-friendly framing: instead of a (frames, n_fft) index gather (random
+    access, ~10x slower on TPU), the signal is cut into hop-width segments
+    and k = ceil(n_fft/hop) *contiguous shifted slices* of the segment array
+    are stacked — frame t is then the first n_fft samples of segments
+    t..t+k-1.  XLA lowers the slices to plain copies.
+    """
+    k = -(-n_fft // hop)  # segments spanned by one window
+    total = (frames + k) * hop
+    pad = total - x.shape[-1]
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    seg = x.reshape(x.shape[:-1] + (frames + k, hop))
+    parts = [seg[..., r : r + frames, :] for r in range(k)]
+    stacked = jnp.concatenate(parts, axis=-1)  # (..., frames, k*hop)
+    return stacked[..., :n_fft]
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "window"))
 def stft_tf_style(x: jax.Array, n_fft: int, hop: int, window: bool = True):
     """``tf.signal.stft(x, n_fft, hop, fft_length=n_fft, pad_end=True)``.
@@ -48,10 +67,7 @@ def stft_tf_style(x: jax.Array, n_fft: int, hop: int, window: bool = True):
     """
     n = x.shape[-1]
     frames = num_frames_tf(n, hop)
-    pad = (frames - 1) * hop + n_fft - n
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(pad, 0))])
-    idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    framed = x[..., idx]
+    framed = _frame(x, frames, n_fft, hop)
     if window:
         framed = framed * hann_window(n_fft)
     return jnp.fft.rfft(framed, n=n_fft, axis=-1)
@@ -76,8 +92,7 @@ def stft_centered(
     frames = num_frames_centered(n, hop)
     half = n_fft // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)], mode=pad_mode)
-    idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    framed = x[..., idx]
+    framed = _frame(x, frames, n_fft, hop)
     if window:
         framed = framed * hann_window(n_fft)
     spec = jnp.fft.rfft(framed, n=n_fft, axis=-1)
