@@ -36,8 +36,16 @@ def make_preprocess_fn(
     Augmented path order matches get_dataset (tfdataset.py:466-505):
     mixup(alpha=0.5) -> per-sample waveform min-max normalize -> raw->mel.
     """
-    mel_w = jnp.asarray(build_mel_weights(cfg))
-    n_fft, hop = cfg.n_fft, cfg.hop_length
+    from audio_training_tpu.ops.featurizer_select import make_mel_fn
+
+    mel_fn = make_mel_fn(cfg)  # matmul-FFT when n_fft=4096, else rfft
+
+    def to_image(raw):
+        mel = mel_fn(raw)  # (B, M, T)
+        img = mel[..., None]
+        if channels > 1:
+            img = jnp.repeat(img, channels, axis=-1)
+        return img
 
     if augment:
 
@@ -50,8 +58,7 @@ def make_preprocess_fn(
                 single_label=single_label_mix,
             )
             mixed = normalize_rows(mixed)
-            mel = raw_to_mel(mixed, mel_w, n_fft=n_fft, hop=hop,
-                             channels=channels)
+            mel = to_image(mixed)
             if use_spec_augment:
                 mel = spec_augment(k2, mel)
             return mel, y
@@ -60,8 +67,7 @@ def make_preprocess_fn(
 
     @jax.jit
     def preprocess_eval(raw, y):
-        mel = raw_to_mel(raw, mel_w, n_fft=n_fft, hop=hop, channels=channels)
-        return mel, y
+        return to_image(raw), y
 
     return preprocess_eval
 

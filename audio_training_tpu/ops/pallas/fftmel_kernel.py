@@ -33,7 +33,7 @@ TILE_ROWS = 64  # frames per grid step
 
 def _constants(n_fft: int):
     d_re, d_im = _dft_matrix(RADIX)
-    tw_re, tw_im = _twiddle(n_fft, RADIX)
+    tw_re, tw_im = _twiddle(n_fft, RADIX, RADIX)
     d2_re = np.zeros((RADIX, K2_PAD), np.float32)
     d2_im = np.zeros((RADIX, K2_PAD), np.float32)
     d2_re[:, :K2_PAD] = d_re[:, :K2_PAD]
