@@ -294,3 +294,32 @@ def test_get_weighting_caps():
     # dominant label: (1/1000) * (1110/3) = 0.37, inside [0.25, 4]
     assert w[0] == pytest.approx(0.37)
     assert w[3] == pytest.approx(3.7)
+
+
+def test_parallel_loader(tiny_dataset):
+    from audio_training_tpu.data.parallel_loader import ParallelLoader
+
+    root, space = tiny_dataset
+    loader = ParallelLoader(
+        find_shards(root, "train"), space, samples_per_clip=1000,
+        batch_size=4, num_workers=2, loop=False,
+    )
+    batches = list(loader)
+    # 32 records over 2 workers -> 8 full batches of 4 (remainders dropped)
+    assert len(batches) == 8
+    raw, y = batches[0]
+    assert raw.shape == (4, 1000)
+    assert y.shape == (4, space.num_labels)
+
+
+def test_parallel_loader_mix_pairs(tiny_dataset):
+    from audio_training_tpu.data.parallel_loader import ParallelLoader
+
+    root, space = tiny_dataset
+    loader = ParallelLoader(
+        find_shards(root, "train"), space, samples_per_clip=1000,
+        batch_size=4, num_workers=2, loop=False, mix=True,
+    )
+    item = next(iter(loader))
+    assert len(item) == 4
+    loader.close()
