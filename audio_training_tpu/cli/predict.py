@@ -29,6 +29,9 @@ def parse_args(argv=None):
     parser.add_argument("--month", type=int, default=None)
     parser.add_argument("--json-out", default=None,
                         help="Write track predictions JSON here")
+    parser.add_argument("--denoise", action="count",
+                        help="Spectral-gate denoise before detection "
+                             "(predict.denoise_spec parity)")
     return parser.parse_args(argv)
 
 
@@ -75,13 +78,17 @@ def load_predictor(model_dir: Path, weights: str, aggregation: str = "mean",
 
 
 def predict_file(predictor, path: Path, grid_meta=None, lat=None, lng=None,
-                 month=None, threshold=0.7):
+                 month=None, threshold=0.7, denoise=False):
     import numpy as np
 
     from audio_training_tpu.corpus.audioio import load_recording
     from audio_training_tpu.infer.ebirdgrid import apply_species_mask
 
     frames, sr = load_recording(path, target_sr=predictor.cfg.sr)
+    if denoise:
+        from audio_training_tpu.ops.denoise import spectral_gate
+
+        frames = np.asarray(spectral_gate(frames[None]))[0]
     tracks, results = predictor.predict_recording(frames, sr,
                                                   threshold=threshold)
     out = []
@@ -132,7 +139,7 @@ def main(argv=None) -> int:
     for f in files:
         track_meta = predict_file(
             predictor, f, grid_meta, args.lat, args.lng, args.month,
-            args.threshold,
+            args.threshold, denoise=bool(args.denoise),
         )
         all_results[str(f)] = track_meta
         for tm in track_meta:

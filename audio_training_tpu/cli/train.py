@@ -101,6 +101,7 @@ def main(argv=None) -> int:
         steps_per_epoch=args.steps_per_epoch,
         only_features=bool(args.only_features),
         morepork_model=args.morepork_model,
+        weights=args.weights,
     )
     if args.cross:
         results = cross_fold_train(run_name=args.name, **common)

@@ -147,6 +147,8 @@ def train_run(
     keep_excluded: bool = False,
     only_features: bool = False,
     morepork_model: bool = False,
+    weights: str | Path | None = None,
+    weight_labels: list[str] | None = None,
 ) -> TrainRunResult:
     """The full training pipeline on real shard data."""
     train_cfg = train_cfg or TrainConfig()
@@ -227,6 +229,20 @@ def train_run(
         spec.module, (mel0,), learning_rate=train_cfg.learning_rate,
         seed=train_cfg.seed,
     )
+    if weights is not None:
+        # resume / fine-tune (audiomodel.py:835-857): when the label sets
+        # differ the fresh final Dense head is kept
+        from audio_training_tpu.train.checkpoints import (
+            restore_into,
+            restore_with_new_head,
+        )
+
+        if weight_labels is not None and list(weight_labels) != labels:
+            log.info("Fine-tuning from %s with a new head", weights)
+            state = restore_with_new_head(state, weights)
+        else:
+            log.info("Resuming from %s", weights)
+            state = restore_into(state, weights)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
     log.info("Model %s has %s params", train_cfg.model_name,
@@ -247,10 +263,32 @@ def train_run(
         },
     )
 
+    hist_path = run_dir / "weight-hists.jsonl"
+
+    def hist_writer(epoch, logs, st):
+        # track the trainable frontend scalars the reference histograms
+        # (MagTransform/PCEN a-power, audiomodel.log_hist_weights)
+        import json as _json
+
+        entries = {}
+
+        def visit(path, leaf):
+            name = "/".join(str(p.key) if hasattr(p, "key") else str(p)
+                            for p in path)
+            if any(k in name for k in ("a_power", "gain", "bias", "root",
+                                       "smooth")):
+                arr = np.asarray(leaf).ravel()
+                entries[name] = [float(v) for v in arr[:8]]
+
+        jax.tree_util.tree_map_with_path(visit, st.params)
+        with hist_path.open("a") as f:
+            f.write(_json.dumps({"epoch": epoch, **entries}) + "\n")
+
     result = fit(
         state,
         train_batches,
         pre_train,
+        hist_writer=hist_writer,
         epochs=epochs or train_cfg.epochs,
         steps_per_epoch=steps_per_epoch,
         val_batches=val_batches,
@@ -264,6 +302,7 @@ def train_run(
         reduce_lr_patience=train_cfg.reduce_lr_patience,
         reduce_lr_factor=train_cfg.reduce_lr_factor,
         seed=train_cfg.seed,
+        remat=train_cfg.remat,
     )
 
     test_metrics: dict = {}
@@ -335,11 +374,11 @@ def cross_fold_train(
     """K-fold cross validation (audiomodel.cross_fold_train,
     audiomodel.py:181-401): each fold trains with a different stream seed and
     its own run dir."""
+    import dataclasses
+
+    cfg = kwargs.pop("train_cfg", None) or TrainConfig()
     results = []
     for fold in range(folds):
-        cfg = kwargs.pop("train_cfg", None) or TrainConfig()
-        import dataclasses
-
         fold_cfg = dataclasses.replace(cfg, seed=cfg.seed + fold * 1000)
         results.append(
             train_run(

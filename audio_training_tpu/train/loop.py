@@ -100,6 +100,7 @@ def fit(
     augment: bool = True,
     log_every: int = 50,
     hist_writer=None,
+    remat: bool = False,
 ) -> FitResult:
     """Run the full training schedule.
 
@@ -112,6 +113,7 @@ def fit(
         multi_label=multi_label,
         label_smoothing=label_smoothing,
         class_weights=class_weights,
+        remat=remat,
     )
     eval_step = make_eval_step(loss_name=loss_name, multi_label=multi_label)
     val_preprocess = val_preprocess or preprocess

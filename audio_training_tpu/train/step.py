@@ -26,20 +26,29 @@ def make_train_step(
     label_smoothing: float = 0.0,
     class_weights=None,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """Returns step(state, mel, y, dropout_key[, possible]) ->
-    (state, metrics_state')."""
+    (state, metrics_state').  ``remat`` wraps the forward in
+    ``jax.checkpoint`` (rematerialize activations in the backward pass,
+    trading FLOPs for HBM — lets batch sizes grow past activation memory)."""
     loss_fn = get_loss(loss_name)
 
     def step(state: TrainState, metrics, mel, y, dropout_key, possible=None):
-        def compute_loss(params):
-            out, mutated = state.apply_fn(
+        def forward(params, mel):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 mel,
                 train=True,
                 rngs={"dropout": dropout_key},
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            out, mutated = forward(params, mel)
             logits = out
             if loss_name == "weighted_bce":
                 loss = loss_fn(logits, y, possible)

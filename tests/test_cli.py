@@ -141,3 +141,46 @@ def test_predict_cli_json_out(trained_run, tmp_path):
     assert out_json.exists()
     data = json.loads(out_json.read_text())
     assert str(wav) in data
+
+
+def test_debug_cli(built_dataset):
+    from audio_training_tpu.cli.debug import main as debug_main
+
+    rc = debug_main([
+        str(built_dataset), "--batches", "2", "--batch-size", "4",
+        "--mels", "96", "--n-fft", "512", "--hop-length", "100",
+    ])
+    assert rc == 0
+
+
+def test_predict_cli_denoise(trained_run, tmp_path):
+    from audio_training_tpu.cli.predict import main as predict_main
+
+    rng = np.random.default_rng(3)
+    t = np.arange(SR * 4) / SR
+    frames = (np.sin(2 * np.pi * 1000 * t) * (t % 2 < 1)).astype(np.float32)
+    frames += 0.05 * rng.standard_normal(len(frames)).astype(np.float32)
+    wav = tmp_path / "d.wav"
+    save_wav(wav, frames, SR)
+    rc = predict_main([
+        str(trained_run.run_dir), "--file", str(wav), "-w", "chkpt",
+        "--denoise",
+    ])
+    assert rc == 0
+
+
+def test_finetune_from_weights(built_dataset, trained_run, tmp_path):
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.train.harness import train_run
+
+    featurizer = FeaturizerConfig(
+        sr=SR, n_fft=512, hop_length=100, n_mels=96, fmin=100, fmax=3500,
+    )
+    cfg = TrainConfig(model_name="badwinner2", batch_size=8,
+                      learning_rate=1e-3, compute_dtype="float32")
+    result = train_run(
+        [built_dataset], "finetune", checkpoint_root=tmp_path,
+        train_cfg=cfg, featurizer=featurizer, epochs=1, steps_per_epoch=2,
+        weights=trained_run.run_dir / "chkpt", confusion=False,
+    )
+    assert result.history["loss"]  # ran at least one epoch from the restored weights
