@@ -62,6 +62,7 @@ class Predictor:
         mean_sub: bool = False,
         db_scale: bool = False,
         multi_label: bool = True,
+        mesh=None,
     ):
         self.module = module
         self.variables = variables
@@ -73,6 +74,15 @@ class Predictor:
         self.mean_sub = mean_sub
         self.db_scale = db_scale
         self.multi_label = multi_label
+        # optional data-parallel inference: shard window batches over the
+        # mesh's data axis (params replicated); XLA handles the rest
+        self._sharding = None
+        if mesh is not None:
+            from audio_training_tpu.parallel import batch_sharding, replicated
+
+            self._sharding = batch_sharding(mesh)
+            self.variables = jax.device_put(variables, replicated(mesh))
+            variables = self.variables
         mel_w = build_mel_weights(cfg)
         self._mel_w_t = jnp.asarray(mel_w).T
         # centered (librosa) convention via the matmul-FFT plan when the
@@ -142,7 +152,12 @@ class Predictor:
         out = []
         cap = self.infer_cfg.max_window_batch
         for i in range(0, padded, cap):
-            out.append(np.asarray(self._infer(jnp.asarray(windows[i:i + cap]))))
+            chunk = windows[i : i + cap]
+            if self._sharding is not None:
+                dev = jax.device_put(chunk, self._sharding)
+            else:
+                dev = jnp.asarray(chunk)
+            out.append(np.asarray(self._infer(dev)))
         return np.concatenate(out)[:n]
 
     def predict_recording(

@@ -257,3 +257,39 @@ def test_freeze_packaging(tmp_path):
     assert (out / "audioModel" / "w.bin").read_bytes() == b"weights"
     meta = json.loads((out / "metadata.txt").read_text())
     assert meta["frozen"] and meta["ebird_ids"]
+
+
+def test_predictor_sharded_over_mesh():
+    """Window batches shard over the data axis of an 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.parallel import make_mesh
+
+    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96)
+    spec = build_model("badwinner2", num_labels=3, logits_only=True)
+    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
+    variables = spec.module.init({"params": jax.random.PRNGKey(0)}, mel0,
+                                 train=False)
+    mesh = make_mesh(num_data=8)
+    pred = Predictor(
+        spec.module, variables, ["a", "b", "c"], cfg,
+        InferenceConfig(max_window_batch=16, bucket_sizes=(8, 16)),
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(0)
+    windows = rng.standard_normal((10, cfg.samples_per_clip)).astype(
+        np.float32
+    )
+    probs = pred.predict_windows(windows)
+    assert probs.shape == (10, 3)
+    assert np.isfinite(probs).all()
+
+    # sharded result matches unsharded
+    pred1 = Predictor(
+        spec.module, variables, ["a", "b", "c"], cfg,
+        InferenceConfig(max_window_batch=16, bucket_sizes=(8, 16)),
+    )
+    np.testing.assert_allclose(probs, pred1.predict_windows(windows),
+                               rtol=1e-4, atol=1e-5)
