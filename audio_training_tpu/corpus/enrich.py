@@ -207,25 +207,27 @@ def generate_tracks(metadata_file: str | Path, target_sr: int = 48000,
         return False
 
 
+def _enrich_one(args) -> int:
+    f, rms, signal, gen_tracks = args
+    n = 0
+    if gen_tracks and generate_tracks(f):
+        n += 1
+    if rms and process_rms(f):
+        n += 1
+    if signal and add_signal_meta(f):
+        n += 1
+    return n
+
+
 def enrich_folder(folder: str | Path, rms: bool = True, signal: bool = True,
                   gen_tracks: bool = False, workers: int = 1) -> int:
     """Run enrichment over every sidecar in a tree (the reference drives
     this with an 8-proc pool, otherdata.py:1073-1074)."""
-    files = sorted(Path(folder).glob("**/*.txt"))
-
-    def work(f):
-        n = 0
-        if gen_tracks and generate_tracks(f):
-            n += 1
-        if rms and process_rms(f):
-            n += 1
-        if signal and add_signal_meta(f):
-            n += 1
-        return n
-
+    jobs = [(f, rms, signal, gen_tracks)
+            for f in sorted(Path(folder).glob("**/*.txt"))]
     if workers <= 1:
-        return sum(work(f) for f in files)
+        return sum(_enrich_one(j) for j in jobs)
     from multiprocessing import Pool
 
     with Pool(workers) as pool:
-        return sum(pool.map(work, files))
+        return sum(pool.map(_enrich_one, jobs))

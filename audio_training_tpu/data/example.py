@@ -146,7 +146,9 @@ def _iter_fields(buf: memoryview) -> Iterator[tuple[int, int, memoryview]]:
             pos += length
         elif wire == _WIRE_VARINT:
             value, pos = _read_varint(buf, pos)
-            yield field, wire, memoryview(struct.pack("<q", value & (2**63 - 1)))
+            if value >= 2**63:  # two's-complement int64
+                value -= 2**64
+            yield field, wire, memoryview(struct.pack("<q", value))
         elif wire == _WIRE_64BIT:
             yield field, wire, buf[pos : pos + 8]
             pos += 8

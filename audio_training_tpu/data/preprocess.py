@@ -42,6 +42,18 @@ def make_preprocess_fn(
 
     def to_image(raw):
         mel = mel_fn(raw)  # (B, M, T)
+        if cfg.db_scale:
+            # per-sample dB (matches the inference featurizer; see
+            # infer/predictor.py)
+            amin = 1e-10
+            ref_v = jnp.max(mel, axis=(1, 2), keepdims=True)
+            out_db = 10.0 * jnp.log10(jnp.maximum(amin, mel))
+            out_db -= 10.0 * jnp.log10(jnp.maximum(amin, ref_v))
+            mel = jnp.maximum(
+                out_db, jnp.max(out_db, axis=(1, 2), keepdims=True) - 80.0
+            )
+        if cfg.mean_sub:
+            mel = mel - mel.mean(axis=2, keepdims=True)
         img = mel[..., None]
         if channels > 1:
             img = jnp.repeat(img, channels, axis=-1)

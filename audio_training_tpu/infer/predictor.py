@@ -121,9 +121,18 @@ class Predictor:
                 )
                 mel = jnp.swapaxes(mel_tm, 1, 2)  # (B, M, T)
             if db_scale:
-                from audio_training_tpu.ops.features import power_to_db
-
-                mel = power_to_db(mel)
+                # per-sample dB reference (the reference applies
+                # librosa.power_to_db per clip, predict_utils.py:216-217;
+                # a batch-global max would couple predictions to batch
+                # composition and to padding rows)
+                amin = 1e-10
+                ref_v = jnp.max(mel, axis=(1, 2), keepdims=True)
+                out_db = 10.0 * jnp.log10(jnp.maximum(amin, mel))
+                out_db -= 10.0 * jnp.log10(jnp.maximum(amin, ref_v))
+                mel = jnp.maximum(
+                    out_db,
+                    jnp.max(out_db, axis=(1, 2), keepdims=True) - 80.0,
+                )
             if mean_sub:
                 mel = mel - mel.mean(axis=2, keepdims=True)
             x = mel[..., None]
@@ -144,11 +153,15 @@ class Predictor:
         if n == 0:
             return np.zeros((0, len(self.labels)), np.float32)
         padded = bucket_pad(n, self.infer_cfg.bucket_sizes)
+        if self._sharding is not None:
+            # batch axis must divide the mesh's data axis
+            shards = len(self._sharding.mesh.devices.reshape(-1))
+            padded = -(-padded // shards) * shards
         if padded != n:
-            windows = np.concatenate(
-                [windows, np.zeros((padded - n, windows.shape[1]),
-                                   windows.dtype)]
-            )
+            # pad by repeating the last real window: all-zero rows would
+            # turn into NaN under the per-window min-max normalize
+            pad_rows = np.repeat(windows[-1:], padded - n, axis=0)
+            windows = np.concatenate([windows, pad_rows])
         out = []
         cap = self.infer_cfg.max_window_batch
         for i in range(0, padded, cap):

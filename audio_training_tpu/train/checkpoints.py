@@ -56,18 +56,58 @@ def restore_into(state: TrainState, path: str | Path) -> TrainState:
     )
 
 
-def restore_with_new_head(
-    state: TrainState, path: str | Path, head_keys: tuple[str, ...] = ("Dense_0",)
-) -> TrainState:
-    """Fine-tune restore that keeps the fresh final Dense when label counts
-    differ (audiomodel.py:835-857)."""
+def restore_with_new_head(state: TrainState, path: str | Path) -> TrainState:
+    """Fine-tune restore that keeps fresh parameters wherever the checkpoint
+    shapes disagree — the head swap when label counts differ
+    (audiomodel.py:835-857), robust across model families (the badwinner2
+    head is a Conv, wr-resnet's a Dense)."""
+    import logging
+
     payload = load_state_dict(path)
-    params = dict(jax.tree_util.tree_map(lambda x: x, payload["params"]))
-    fresh = state.params
-    for k in head_keys:
-        if k in fresh:
-            params[k] = fresh[k]
-    return state.replace(params=params, batch_stats=payload["batch_stats"])
+    kept_fresh: list[str] = []
+
+    def merge(path_keys, fresh_leaf):
+        node = payload["params"]
+        try:
+            for k in path_keys:
+                node = node[k]
+        except (KeyError, TypeError):
+            kept_fresh.append("/".join(path_keys))
+            return fresh_leaf
+        if getattr(node, "shape", None) != fresh_leaf.shape:
+            kept_fresh.append("/".join(path_keys))
+            return fresh_leaf
+        return node
+
+    def walk(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, prefix + (k,)) for k, v in tree.items()}
+        return merge(list(prefix), tree)
+
+    params = walk(jax.tree_util.tree_map(lambda x: x, state.params))
+    if kept_fresh:
+        logging.getLogger(__name__).info(
+            "kept fresh (shape-mismatched) params: %s", kept_fresh
+        )
+    # batch stats merge the same way (new-head BN stats stay fresh)
+    bs_payload = payload.get("batch_stats", {})
+
+    def walk_bs(tree, src, prefix=()):
+        if isinstance(tree, dict):
+            return {
+                k: walk_bs(v, src.get(k, {}) if isinstance(src, dict) else {},
+                           prefix + (k,))
+                for k, v in tree.items()
+            }
+        if (
+            not isinstance(src, dict)
+            and getattr(src, "shape", None) == tree.shape
+        ):
+            return src
+        return tree
+
+    batch_stats = walk_bs(dict(state.batch_stats), dict(bs_payload))
+    return state.replace(params=params, batch_stats=batch_stats)
 
 
 @dataclass

@@ -189,34 +189,82 @@ def train_run(
         )
         yield from loader
 
+    # the validation streams are built ONCE so their RAM cache (non-train
+    # splits cache decoded samples, pipeline.py) survives across epochs
+    from audio_training_tpu.data.pipeline import BatchLoader, RecordStream, find_shards, interleave
+
+    val_streams = []
+    for i, d in enumerate(data_dirs):
+        v_shards = find_shards(d, "validation")
+        if v_shards:
+            val_streams.append(
+                RecordStream(v_shards, space, cfg.samples_per_clip,
+                             seed=train_cfg.seed + i * 97, loop=False,
+                             cache=True)
+            )
+
     def val_batches():
-        loader = build_training_stream(
-            data_dirs, "validation", space, cfg.samples_per_clip,
-            batch_size=train_cfg.batch_size, seed=train_cfg.seed,
-            augment=False, sharding=sharding,
+        if not val_streams:
+            return
+        if len(val_streams) == 1:
+            stream = iter(val_streams[0])
+        else:
+            stream = interleave([iter(s) for s in val_streams], None,
+                                seed=train_cfg.seed)
+        yield from BatchLoader(
+            stream, batch_size=train_cfg.batch_size,
+            num_labels=space.num_labels,
+            samples_per_clip=cfg.samples_per_clip, sharding=sharding,
         )
-        yield from loader
+
+    # remapped per-output-label distribution: fold source-tag counts through
+    # the remap + generic-bird extra tables so outputs fed only via remapping
+    # (e.g. "bird") get their true counts (the pre-remap counts would give
+    # them 0 -> weight 0 -> zero gradient)
+    counts = data_meta.get("counts", {}).get("train", {}).get(
+        "sample_counts", {}
+    )
+    dist = np.zeros(len(labels), np.float64)
+    for i, src_label in enumerate(space.source_labels):
+        c = counts.get(src_label, 0)
+        if not c:
+            continue
+        tgt = int(space.remap[i])
+        if tgt >= 0:
+            dist[tgt] += c
+        extra = int(space.extra[i])
+        if extra >= 0:
+            dist[extra] += c
 
     # epoch size for steps_per_epoch
     if steps_per_epoch is None:
-        total = 0
-        counts = data_meta.get("counts", {}).get("train", {}).get(
-            "sample_counts", {}
-        )
-        total = sum(counts.values())
-        if total:
-            steps_per_epoch = max(total // train_cfg.batch_size, 1)
+        total = int(sum(counts.values()))
+        if not total:
+            # no counts in the metadata: count usable samples directly
+            # (one decode-light pass) so the looping train stream is bounded
+            total = sum(
+                RecordStream(find_shards(d, "train"), space,
+                             cfg.samples_per_clip).count()
+                for d in data_dirs
+            )
+        steps_per_epoch = max(total // train_cfg.batch_size, 1)
 
     # class weights (audiomodel.py:524-526)
     class_weights = None
     if train_cfg.use_weighting:
-        counts = data_meta.get("counts", {}).get("train", {}).get(
-            "sample_counts", {}
-        )
-        dist = np.array([counts.get(l, 0) for l in labels], np.float64)
         w = get_weighting(dist, labels, cap_max=train_cfg.weight_max,
                           cap_min=train_cfg.weight_min)
         class_weights = jnp.asarray(weights_to_array(w, len(labels)))
+
+    # weighted_bce derives its negative-mask from the generic-bird structure
+    bird_index = labels.index("bird") if "bird" in labels else None
+    specific_bird_mask = None
+    if train_cfg.loss == "weighted_bce" and bird_index is not None:
+        specific_bird_mask = np.array(
+            [1.0 if (l in ontology.all_birds and l != "bird") else 0.0
+             for l in labels],
+            np.float32,
+        )
 
     # model
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
@@ -231,12 +279,22 @@ def train_run(
     )
     if weights is not None:
         # resume / fine-tune (audiomodel.py:835-857): when the label sets
-        # differ the fresh final Dense head is kept
+        # differ the fresh head is kept (shape-mismatch merge)
         from audio_training_tpu.train.checkpoints import (
             restore_into,
             restore_with_new_head,
         )
 
+        if weight_labels is None:
+            # infer the source label set from metadata.txt beside the ckpt
+            src_meta = Path(weights).parent / "metadata.txt"
+            if src_meta.exists():
+                try:
+                    weight_labels = json.loads(src_meta.read_text()).get(
+                        "ebird_labels"
+                    )
+                except Exception:
+                    pass
         if weight_labels is not None and list(weight_labels) != labels:
             log.info("Fine-tuning from %s with a new head", weights)
             state = restore_with_new_head(state, weights)
@@ -252,6 +310,7 @@ def train_run(
         run_dir, train_cfg.model_name, labels, cfg, ontology,
         loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
         use_generic_bird=train_cfg.use_generic_bird,
+        mean_sub=cfg.mean_sub,
         training_data_meta={
             k: v for k, v in data_meta.items() if k in ("counts", "type")
         },
@@ -303,6 +362,8 @@ def train_run(
         reduce_lr_factor=train_cfg.reduce_lr_factor,
         seed=train_cfg.seed,
         remat=train_cfg.remat,
+        bird_index=bird_index,
+        specific_bird_mask=specific_bird_mask,
     )
 
     test_metrics: dict = {}
@@ -316,6 +377,7 @@ def train_run(
         run_dir, train_cfg.model_name, labels, cfg, ontology,
         loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
         use_generic_bird=train_cfg.use_generic_bird,
+        mean_sub=cfg.mean_sub,
         history=result.history, test_results=test_metrics,
         training_data_meta={
             k: v for k, v in data_meta.items() if k in ("counts", "type")

@@ -101,6 +101,8 @@ def fit(
     log_every: int = 50,
     hist_writer=None,
     remat: bool = False,
+    bird_index: int | None = None,
+    specific_bird_mask=None,
 ) -> FitResult:
     """Run the full training schedule.
 
@@ -114,8 +116,13 @@ def fit(
         label_smoothing=label_smoothing,
         class_weights=class_weights,
         remat=remat,
+        bird_index=bird_index,
+        specific_bird_mask=specific_bird_mask,
     )
-    eval_step = make_eval_step(loss_name=loss_name, multi_label=multi_label)
+    eval_step = make_eval_step(
+        loss_name=loss_name, multi_label=multi_label, bird_index=bird_index,
+        specific_bird_mask=specific_bird_mask,
+    )
     val_preprocess = val_preprocess or preprocess
 
     tracker = (

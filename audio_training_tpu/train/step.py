@@ -20,6 +20,26 @@ from audio_training_tpu.train.metrics import metrics_init, metrics_update
 from audio_training_tpu.train.state import TrainState
 
 
+def possible_labels_from_targets(
+    y: jax.Array, bird_index: int | None, specific_bird_mask
+) -> jax.Array:
+    """Derive the weighted_bce negative-mask from the targets.
+
+    Parity with the reference's intent (WeightedCrossEntropy,
+    audiomodel.py:2637-2643): on a clip whose only bird tag is the generic
+    ``bird`` output, a specific-species positive prediction should not be
+    penalized — its negative term is masked out.
+    """
+    if bird_index is None or specific_bird_mask is None:
+        return jnp.ones_like(y)
+    specific = jnp.asarray(specific_bird_mask, y.dtype)  # (L,) 1=specific bird
+    has_specific = (y * specific).sum(axis=-1, keepdims=True) > 0
+    is_bird_clip = y[..., bird_index : bird_index + 1] > 0
+    generic_only = is_bird_clip & ~has_specific  # (B, 1)
+    # mask (zero) the negative terms of specific-bird outputs on such clips
+    return 1.0 - generic_only.astype(y.dtype) * specific
+
+
 def make_train_step(
     loss_name: str = "bce",
     multi_label: bool = True,
@@ -27,6 +47,8 @@ def make_train_step(
     class_weights=None,
     donate: bool = True,
     remat: bool = False,
+    bird_index: int | None = None,
+    specific_bird_mask=None,
 ) -> Callable:
     """Returns step(state, mel, y, dropout_key[, possible]) ->
     (state, metrics_state').  ``remat`` wraps the forward in
@@ -51,7 +73,12 @@ def make_train_step(
             out, mutated = forward(params, mel)
             logits = out
             if loss_name == "weighted_bce":
-                loss = loss_fn(logits, y, possible)
+                p = possible
+                if p is None:
+                    p = possible_labels_from_targets(
+                        y, bird_index, specific_bird_mask
+                    )
+                loss = loss_fn(logits, y, p)
             elif loss_name == "cce":
                 loss = loss_fn(logits, y, label_smoothing)
             elif loss_name == "bce":
@@ -76,6 +103,8 @@ def make_eval_step(
     loss_name: str = "bce",
     multi_label: bool = True,
     label_smoothing: float = 0.0,
+    bird_index: int | None = None,
+    specific_bird_mask=None,
 ) -> Callable:
     loss_fn = get_loss(loss_name)
 
@@ -86,6 +115,10 @@ def make_eval_step(
             train=False,
         )
         if loss_name == "weighted_bce":
+            if possible is None:
+                possible = possible_labels_from_targets(
+                    y, bird_index, specific_bird_mask
+                )
             loss = loss_fn(logits, y, possible)
         elif loss_name in ("bce", "cce"):
             loss = loss_fn(logits, y, label_smoothing)

@@ -286,6 +286,11 @@ def test_predictor_sharded_over_mesh():
     assert probs.shape == (10, 3)
     assert np.isfinite(probs).all()
 
+    # small window counts must pad up to the mesh size (3 -> 8), not crash
+    small = pred.predict_windows(windows[:3])
+    assert small.shape == (3, 3)
+    assert np.isfinite(small).all()
+
     # sharded result matches unsharded
     pred1 = Predictor(
         spec.module, variables, ["a", "b", "c"], cfg,

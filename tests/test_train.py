@@ -277,3 +277,56 @@ def test_param_count_positive():
     spec, mel, _ = _tiny_model_and_data()
     state = create_train_state(spec.module, (jnp.asarray(mel),))
     assert param_count(state) > 1000
+
+
+def test_weighted_bce_possible_from_targets():
+    from audio_training_tpu.train.step import possible_labels_from_targets
+
+    # labels: [bird, kiwi(specific), noise]
+    y = jnp.asarray([
+        [1.0, 0.0, 0.0],  # generic-bird-only clip
+        [1.0, 1.0, 0.0],  # specific bird clip
+        [0.0, 0.0, 1.0],  # noise clip
+    ])
+    mask = possible_labels_from_targets(y, bird_index=0,
+                                        specific_bird_mask=[0.0, 1.0, 0.0])
+    mask = np.asarray(mask)
+    # generic-only clip: the specific-bird negative is masked out
+    np.testing.assert_array_equal(mask[0], [1, 0, 1])
+    # specific and noise clips: everything counted
+    np.testing.assert_array_equal(mask[1], [1, 1, 1])
+    np.testing.assert_array_equal(mask[2], [1, 1, 1])
+
+
+def test_weighted_bce_train_step_runs():
+    spec, mel, y = _tiny_model_and_data()
+    state = create_train_state(spec.module, (jnp.asarray(mel),),
+                               learning_rate=1e-3)
+    step = make_train_step(loss_name="weighted_bce", donate=False,
+                           bird_index=0,
+                           specific_bird_mask=np.array([0., 1., 0.],
+                                                       np.float32))
+    metrics = fresh_metrics()
+    state, metrics = step(state, metrics, jnp.asarray(mel), jnp.asarray(y),
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_sum"]))
+
+
+def test_restore_with_new_head_shape_merge(tmp_path):
+    from audio_training_tpu.train.checkpoints import restore_with_new_head
+
+    # train a 3-label model, restore into a 5-label model of the same trunk
+    spec3, mel, _ = _tiny_model_and_data(num_labels=3)
+    s3 = create_train_state(spec3.module, (jnp.asarray(mel),))
+    save_state(tmp_path / "ck3", s3)
+    spec5 = build_model("wr-resnet", num_labels=5, logits_only=True,
+                        depth=10, k=1)
+    s5 = create_train_state(spec5.module, (jnp.asarray(mel),), seed=9)
+    merged = restore_with_new_head(s5, tmp_path / "ck3")
+    # trunk params restored from the checkpoint
+    l3 = jax.tree_util.tree_leaves(s3.params)[0]
+    lm = jax.tree_util.tree_leaves(merged.params)[0]
+    np.testing.assert_allclose(np.asarray(l3), np.asarray(lm))
+    # head stays fresh (5 outputs) and forward still works
+    out = make_predict_fn()(merged, jnp.asarray(mel))
+    assert out.shape == (mel.shape[0], 5)
