@@ -184,3 +184,12 @@ def test_finetune_from_weights(built_dataset, trained_run, tmp_path):
         weights=trained_run.run_dir / "chkpt", confusion=False,
     )
     assert result.history["loss"]  # ran at least one epoch from the restored weights
+
+
+def test_augment_cli(built_dataset, tmp_path):
+    from audio_training_tpu.cli.augment import main as augment_main
+
+    out = tmp_path / "mixed"
+    rc = augment_main([str(built_dataset), str(out)])
+    assert rc == 0
+    assert list(out.glob("*.tfrecord"))
