@@ -193,3 +193,24 @@ def test_augment_cli(built_dataset, tmp_path):
     rc = augment_main([str(built_dataset), str(out)])
     assert rc == 0
     assert list(out.glob("*.tfrecord"))
+
+
+def test_cross_fold_train(built_dataset, tmp_path):
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.train.harness import cross_fold_train
+
+    featurizer = FeaturizerConfig(
+        sr=SR, n_fft=512, hop_length=100, n_mels=96, fmin=100, fmax=3500,
+    )
+    cfg = TrainConfig(model_name="badwinner2", batch_size=8,
+                      learning_rate=1e-3, compute_dtype="float32")
+    results = cross_fold_train(
+        [built_dataset], run_name="cv", folds=2, checkpoint_root=tmp_path,
+        train_cfg=cfg, featurizer=featurizer, epochs=1, steps_per_epoch=2,
+        confusion=False,
+    )
+    assert len(results) == 2
+    assert (tmp_path / "cv-fold0" / "chkpt").exists()
+    assert (tmp_path / "cv-fold1" / "chkpt").exists()
+    # folds use different stream seeds
+    assert results[0].history["loss"] != results[1].history["loss"]
