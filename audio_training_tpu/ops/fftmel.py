@@ -115,32 +115,35 @@ def mel_power_matmul(
     tw_re, tw_im = _twiddle(n_fft, r1, r2)
     d1_re = jnp.asarray(d1_re)
     d1_im = jnp.asarray(d1_im)
-    tw_re = jnp.asarray(tw_re)
-    tw_im = jnp.asarray(tw_im)
-    d2_re = jnp.asarray(d2_re_full[:, :k2_cols])
-    d2_im = jnp.asarray(d2_im_full[:, :k2_cols])
+    d2_re = d2_re_full[:, :k2_cols]
+    d2_im = d2_im_full[:, :k2_cols]
+
+    # Fold the twiddle into per-k1 stage-2 operators so the twiddled
+    # intermediate (b = a * tw) never materializes in HBM:
+    #   x_re = a_re @ E1_f - a_im @ E2_f
+    #   x_im = a_re @ E2_f + a_im @ E1_f
+    # with E1_f[m,k] = tw_re[f,m] d2_re[m,k] - tw_im[f,m] d2_im[m,k]
+    #      E2_f[m,k] = tw_re[f,m] d2_im[m,k] + tw_im[f,m] d2_re[m,k]
+    e1 = (tw_re[:, :, None] * d2_re[None] - tw_im[:, :, None] * d2_im[None])
+    e2 = (tw_re[:, :, None] * d2_im[None] + tw_im[:, :, None] * d2_re[None])
+    # stacked so each a-component needs ONE batched GEMM
+    e12 = jnp.asarray(np.concatenate([e1, e2], axis=2))    # (r1, r2, 2k)
+    e21 = jnp.asarray(np.concatenate([-e2, e1], axis=2))   # (r1, r2, 2k)
 
     # stage 1 over n1 (real input -> 2 real matmuls)
     a_re = jnp.einsum("fn,btnm->btfm", d1_re, x2,
                       preferred_element_type=jnp.float32)
     a_im = jnp.einsum("fn,btnm->btfm", d1_im, x2,
                       preferred_element_type=jnp.float32)
-    # twiddle (elementwise complex)
-    b_re = a_re * tw_re - a_im * tw_im
-    b_im = a_re * tw_im + a_im * tw_re
-    # stage 2 over n2, restricted to the k2 columns the filterbank reads
-    x_re = (
-        jnp.einsum("btfm,mk->btfk", b_re, d2_re,
+    # stage 2 (twiddle folded): batched over f = k1
+    xri = (
+        jnp.einsum("btfm,fmk->btfk", a_re, e12,
                    preferred_element_type=jnp.float32)
-        - jnp.einsum("btfm,mk->btfk", b_im, d2_im,
+        + jnp.einsum("btfm,fmk->btfk", a_im, e21,
                      preferred_element_type=jnp.float32)
     )
-    x_im = (
-        jnp.einsum("btfm,mk->btfk", b_re, d2_im,
-                   preferred_element_type=jnp.float32)
-        + jnp.einsum("btfm,mk->btfk", b_im, d2_re,
-                     preferred_element_type=jnp.float32)
-    )
+    x_re = xri[..., :k2_cols]
+    x_im = xri[..., k2_cols:]
     power = x_re * x_re + x_im * x_im  # (B, T, r1, k2_cols)
     mel = jnp.einsum(
         "btfk,mfk->bmt", power, mel_w_packed,
