@@ -38,7 +38,10 @@ def make_preprocess_fn(
     """
     from audio_training_tpu.ops.featurizer_select import make_mel_fn
 
-    mel_fn = make_mel_fn(cfg)  # matmul-FFT when n_fft=4096, else rfft
+    # matmul-FFT when n_fft=4096, else rfft; training uses the fast (bf16
+    # MXU) DFT precision — mixup/augmentation noise dwarfs its ~2e-3 error —
+    # while eval batches stay fp32-faithful
+    mel_fn = make_mel_fn(cfg, precision="default" if augment else "highest")
 
     def to_image(raw):
         mel = mel_fn(raw)  # (B, M, T)

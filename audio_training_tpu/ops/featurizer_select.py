@@ -28,6 +28,7 @@ def make_mel_fn(
     cfg: FeaturizerConfig,
     mel_weights: np.ndarray | None = None,
     backend: str = "auto",
+    precision: str = "highest",
 ) -> Callable[[jax.Array], jax.Array]:
     """Returns fn(raw (B, n)) -> (B, n_mels, frames) float32 mel power."""
     w = mel_weights if mel_weights is not None else build_mel_weights(cfg)
@@ -47,7 +48,8 @@ def make_mel_fn(
     if backend == "matmul":
         from audio_training_tpu.ops.fftmel import MatmulMelPlan
 
-        plan = MatmulMelPlan(w, cfg.n_fft, cfg.hop_length)
+        plan = MatmulMelPlan(w, cfg.n_fft, cfg.hop_length,
+                             precision=precision)
         return plan
     if backend == "rfft":
         from audio_training_tpu.ops.stft import stft_tf_style
@@ -58,7 +60,9 @@ def make_mel_fn(
             spec = stft_tf_style(raw, cfg.n_fft, cfg.hop_length)
             p = spec.real**2 + spec.imag**2
             return jnp.einsum(
-                "mf,btf->bmt", w_dev, p, preferred_element_type=jnp.float32
+                "mf,btf->bmt", w_dev, p,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )
 
         return rfft_mel

@@ -79,7 +79,8 @@ def pack_mel_weights(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop", "r1", "k2_cols", "out_dtype", "center"),
+    static_argnames=("n_fft", "hop", "r1", "k2_cols", "out_dtype", "center",
+                     "precision"),
 )
 def mel_power_matmul(
     raw: jax.Array,
@@ -90,13 +91,25 @@ def mel_power_matmul(
     k2_cols: int = 15,
     out_dtype=jnp.float32,
     center: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """(B, samples) waveform -> (B, M, T) mel power spectrogram.
 
     ``mel_w_packed`` is the (M, r1, k2_cols) filterbank in (k1, k2) layout.
     ``center=True`` uses the librosa inference convention (constant pad by
     n_fft//2, predict_utils.get_spect); False the tf.signal training one.
+
+    ``precision``: JAX matmul precision for the DFT/mel contractions.  On
+    TPU the library-wide DEFAULT is bf16 multiplication, which costs ~1e-2
+    relative error on the mel — "highest" (f32) is the parity-faithful
+    setting; "default" is the fast training setting (augmentation noise
+    dwarfs the bf16 error); "high" = bf16_3x middle ground.
     """
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
     r2 = n_fft // r1
     assert r1 * r2 == n_fft
     b = raw.shape[0]
@@ -106,47 +119,47 @@ def mel_power_matmul(
         raw = jnp.pad(raw, ((0, 0), (half, half)))
     else:
         frames = num_frames_tf(raw.shape[-1], hop)
-    x = _frame(raw, frames, n_fft, hop) * hann_window(n_fft)
-    # n = r2*n1 + n2  ->  x2[..., n1, n2]
-    x2 = x.reshape(b, frames, r1, r2)
+    # n = r2*n1 + n2  ->  x2[..., n1, n2]; the Hann window is folded into
+    # the stage-1 operators below, so raw frames go straight into the GEMM
+    x2 = _frame(raw, frames, n_fft, hop).reshape(b, frames, r1, r2)
 
     d1_re, d1_im = _dft_matrix(r1)
-    d2_re_full, d2_im_full = _dft_matrix(r2)
+    d2_re, d2_im = _dft_matrix(r2)
+    d2_re = d2_re[:, :k2_cols]
+    d2_im = d2_im[:, :k2_cols]
     tw_re, tw_im = _twiddle(n_fft, r1, r2)
-    d1_re = jnp.asarray(d1_re)
-    d1_im = jnp.asarray(d1_im)
-    d2_re = d2_re_full[:, :k2_cols]
-    d2_im = d2_im_full[:, :k2_cols]
+    w2 = hann_window(n_fft).reshape(r1, r2)
 
-    # Fold the twiddle into per-k1 stage-2 operators so the twiddled
-    # intermediate (b = a * tw) never materializes in HBM:
-    #   x_re = a_re @ E1_f - a_im @ E2_f
-    #   x_im = a_re @ E2_f + a_im @ E1_f
-    # with E1_f[m,k] = tw_re[f,m] d2_re[m,k] - tw_im[f,m] d2_im[m,k]
-    #      E2_f[m,k] = tw_re[f,m] d2_im[m,k] + tw_im[f,m] d2_re[m,k]
-    e1 = (tw_re[:, :, None] * d2_re[None] - tw_im[:, :, None] * d2_im[None])
-    e2 = (tw_re[:, :, None] * d2_im[None] + tw_im[:, :, None] * d2_re[None])
-    # stacked so each a-component needs ONE batched GEMM
-    e12 = jnp.asarray(np.concatenate([e1, e2], axis=2))    # (r1, r2, 2k)
-    e21 = jnp.asarray(np.concatenate([-e2, e1], axis=2))   # (r1, r2, 2k)
+    # stage-1 operators with the window folded in:
+    #   a[f, m] = sum_n x2[n, m] * (D1[f, n] * w2[n, m])
+    w1_re = jnp.asarray(np.einsum("fn,nm->nmf", d1_re, w2))
+    w1_im = jnp.asarray(np.einsum("fn,nm->nmf", d1_im, w2))
+    # stage-2 operators with the twiddle folded in (so the twiddled
+    # intermediate b = a * tw never materializes in HBM):
+    #   x_re = a_re @ E1_f - a_im @ E2_f ; x_im = a_re @ E2_f + a_im @ E1_f
+    e1 = tw_re[:, :, None] * d2_re[None] - tw_im[:, :, None] * d2_im[None]
+    e2 = tw_re[:, :, None] * d2_im[None] + tw_im[:, :, None] * d2_re[None]
+    e12 = jnp.asarray(np.concatenate([e1, e2], axis=2))   # (r1, r2, 2k)
+    e21 = jnp.asarray(np.concatenate([-e2, e1], axis=2))  # (r1, r2, 2k)
 
-    # stage 1 over n1 (real input -> 2 real matmuls)
-    a_re = jnp.einsum("fn,btnm->btfm", d1_re, x2,
+    # NOTE: precision= matters — jax's DEFAULT matmul precision on TPU is
+    # bf16 multiplication (~2e-2 max mel error); "highest" keeps the whole
+    # chain faithful to the fp32 rfft reference (~2e-6).
+    a_re = jnp.einsum("btnm,nmf->btfm", x2, w1_re, precision=prec,
                       preferred_element_type=jnp.float32)
-    a_im = jnp.einsum("fn,btnm->btfm", d1_im, x2,
+    a_im = jnp.einsum("btnm,nmf->btfm", x2, w1_im, precision=prec,
                       preferred_element_type=jnp.float32)
-    # stage 2 (twiddle folded): batched over f = k1
     xri = (
-        jnp.einsum("btfm,fmk->btfk", a_re, e12,
+        jnp.einsum("btfm,fmk->btfk", a_re, e12, precision=prec,
                    preferred_element_type=jnp.float32)
-        + jnp.einsum("btfm,fmk->btfk", a_im, e21,
+        + jnp.einsum("btfm,fmk->btfk", a_im, e21, precision=prec,
                      preferred_element_type=jnp.float32)
     )
     x_re = xri[..., :k2_cols]
     x_im = xri[..., k2_cols:]
     power = x_re * x_re + x_im * x_im  # (B, T, r1, k2_cols)
     mel = jnp.einsum(
-        "btfk,mfk->bmt", power, mel_w_packed,
+        "btfk,mfk->bmt", power, mel_w_packed, precision=prec,
         preferred_element_type=jnp.float32,
     )
     return mel.astype(out_dtype)
@@ -157,7 +170,8 @@ class MatmulMelPlan:
 
     def __init__(self, mel_weights: np.ndarray, n_fft: int = 4096,
                  hop: int = 281, center: bool = False,
-                 split: tuple[int, int] = DEFAULT_SPLIT):
+                 split: tuple[int, int] = DEFAULT_SPLIT,
+                 precision: str = "highest"):
         r1, r2 = split
         if r1 * r2 != n_fft:
             raise ValueError(
@@ -166,6 +180,7 @@ class MatmulMelPlan:
         self.n_fft = n_fft
         self.hop = hop
         self.center = center
+        self.precision = precision
         self.r1 = r1
         self.k2_cols = plan_bins(mel_weights, r1)
         self.packed = jnp.asarray(
@@ -176,4 +191,5 @@ class MatmulMelPlan:
         return mel_power_matmul(
             raw, self.packed, n_fft=self.n_fft, hop=self.hop, r1=self.r1,
             k2_cols=self.k2_cols, out_dtype=out_dtype, center=self.center,
+            precision=self.precision,
         )

@@ -52,8 +52,8 @@ def _kernel(frames_ref, d_ref, tw_ref, d2_ref, win_ref, melw_ref, out_ref):
     fr = frames_ref[:] * win_ref[0]
     x2 = fr.reshape(TILE_ROWS, RADIX, RADIX)
     y = jnp.swapaxes(x2, 0, 1).reshape(RADIX, TILE_ROWS * RADIX)
-    a_re = jnp.dot(d_re, y, preferred_element_type=jnp.float32)
-    a_im = jnp.dot(d_im, y, preferred_element_type=jnp.float32)
+    a_re = jnp.dot(d_re, y, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    a_im = jnp.dot(d_im, y, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
     a_re = a_re.reshape(RADIX, TILE_ROWS, RADIX)
     a_im = a_im.reshape(RADIX, TILE_ROWS, RADIX)
     b_re = a_re * tw_re - a_im * tw_im
@@ -61,17 +61,17 @@ def _kernel(frames_ref, d_ref, tw_ref, d2_ref, win_ref, melw_ref, out_ref):
     z_re = b_re.reshape(RADIX * TILE_ROWS, RADIX)
     z_im = b_im.reshape(RADIX * TILE_ROWS, RADIX)
     x_re = (
-        jnp.dot(z_re, d2_re, preferred_element_type=jnp.float32)
-        - jnp.dot(z_im, d2_im, preferred_element_type=jnp.float32)
+        jnp.dot(z_re, d2_re, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+        - jnp.dot(z_im, d2_im, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
     )
     x_im = (
-        jnp.dot(z_re, d2_im, preferred_element_type=jnp.float32)
-        + jnp.dot(z_im, d2_re, preferred_element_type=jnp.float32)
+        jnp.dot(z_re, d2_im, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+        + jnp.dot(z_im, d2_re, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
     )
     power = x_re * x_re + x_im * x_im  # (64*rows, K2_PAD)
     p = power.reshape(RADIX, TILE_ROWS, K2_PAD)
     p = jnp.swapaxes(p, 0, 1).reshape(TILE_ROWS, RADIX * K2_PAD)
-    out_ref[:] = jnp.dot(p, melw_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(p, melw_ref[:], precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "interpret"))

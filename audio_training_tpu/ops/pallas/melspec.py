@@ -38,7 +38,8 @@ def _power_mel_kernel(re_ref, im_ref, w_ref, out_ref):
     im = im_ref[0]
     power = re * re + im * im  # VPU, fused with the load
     out_ref[0] = jnp.dot(
-        power, w_ref[:], preferred_element_type=jnp.float32
+        power, w_ref[:], precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
 
 
