@@ -121,7 +121,13 @@ class LMELayer(nn.Module):
 
 class Conv(nn.Module):
     """Keras-style Conv2D: NHWC, valid padding by default, glorot-uniform
-    kernel, zero bias."""
+    kernel, zero bias.
+
+    Precision note: jax's DEFAULT conv precision on TPU is bf16
+    multiplication even for f32 activations.  When no compute dtype is set
+    (the fp32 logit-parity configuration) the conv runs at HIGHEST so f32
+    means f32; an explicit bf16 dtype opts into fast MXU math.
+    """
 
     features: int
     kernel: Sequence[int]
@@ -132,6 +138,9 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        precision = (
+            jax.lax.Precision.HIGHEST if self.dtype is None else None
+        )
         return nn.Conv(
             features=self.features,
             kernel_size=tuple(self.kernel),
@@ -139,6 +148,7 @@ class Conv(nn.Module):
             padding=self.padding,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
+            precision=precision,
         )(x)
 
 
