@@ -214,3 +214,42 @@ def test_cross_fold_train(built_dataset, tmp_path):
     assert (tmp_path / "cv-fold1" / "chkpt").exists()
     # folds use different stream seeds
     assert results[0].history["loss"] != results[1].history["loss"]
+
+
+def test_evaluate_cli_weak_and_compare(trained_run, tmp_path):
+    from audio_training_tpu.cli.evaluate import main as evaluate_main
+
+    # weak-label directory: <label>/<wav>
+    weak_dir = tmp_path / "weak"
+    rng = np.random.default_rng(5)
+    for label, freq in (("kiwi", 1200), ("morepo2", 800)):
+        d = weak_dir / label
+        d.mkdir(parents=True)
+        t = np.arange(SR * 6) / SR
+        frames = (np.sin(2 * np.pi * freq * t) * (t % 3 < 1.2)).astype(
+            np.float32
+        )
+        frames += 0.02 * rng.standard_normal(len(frames)).astype(np.float32)
+        save_wav(d / "clip.wav", frames, SR)
+    out_prefix = tmp_path / "conf" / "weak"
+    rc = evaluate_main([
+        "weak", str(trained_run.run_dir), str(weak_dir),
+        "-w", "chkpt", "--out", str(out_prefix),
+    ])
+    assert rc == 0
+    assert (out_prefix.parent / "weak-mean.npy").exists()
+
+    # compare: two runs' confusions (self vs self -> tie)
+    cm = np.array([[3, 1, 0], [0, 4, 0], [0, 0, 0]])
+    for name in ("a", "b"):
+        d = tmp_path / name
+        d.mkdir()
+        np.save(d / "confusion.npy", cm)
+        (d / "metadata.txt").write_text(json.dumps(
+            {"ebird_labels": ["kiwi", "morepo2"]}
+        ))
+    rc = evaluate_main([
+        "compare", str(tmp_path / "a" / "confusion.npy"),
+        str(tmp_path / "b" / "confusion.npy"),
+    ])
+    assert rc == 0
