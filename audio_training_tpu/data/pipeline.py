@@ -56,6 +56,7 @@ def load_meta(data_dir: str | Path) -> dict:
 class SampleBatch:
     raw: np.ndarray  # (B, samples) float32
     labels: np.ndarray  # (B, num_labels) float32
+    latlng: Optional[np.ndarray] = None  # (B, 2) float32 when requested
 
 
 class RecordStream:
@@ -74,6 +75,7 @@ class RecordStream:
         keep_unlabeled: bool = False,
         cache: bool = False,
         verify_crc: bool = False,
+        with_latlng: bool = False,
     ):
         if not shards:
             raise ValueError("no shard files found")
@@ -89,6 +91,9 @@ class RecordStream:
         # RAM after the first pass, so later epochs never touch gzip again.
         self.cache = cache
         self.verify_crc = verify_crc
+        # when set, items are (raw, one_hot, [lat, lng]) — the GPS feeds the
+        # NZ-box possible_labels loss weighting (tfdataset.py:1188-1212)
+        self.with_latlng = with_latlng
         self._cached: list[tuple[np.ndarray, np.ndarray]] | None = None
         self._tag_index = {l: i for i, l in enumerate(label_space.source_labels)}
 
@@ -117,53 +122,68 @@ class RecordStream:
         y = self._one_hot(s.tags)
         if y is None:
             return None
+        if self.with_latlng:
+            return raw, y, np.array([s.lat, s.lng], np.float32)
         return raw, y
 
-    def _iter_decoded(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    def _iter_one_epoch(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """One pass over the shard set (decoding from disk, or from the RAM
+        cache once it is filled)."""
         if self.cache and self._cached is not None:
-            while True:
-                order = (
-                    self.rng.sample(self._cached, len(self._cached))
-                    if self.shuffle
-                    else self._cached
-                )
-                yield from order
-                if not self.loop:
-                    return
+            order = (
+                self.rng.sample(self._cached, len(self._cached))
+                if self.shuffle
+                else self._cached
+            )
+            yield from order
+            return
         filling = [] if self.cache else None
+        order = list(self.shards)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for shard in order:
+            for rec in read_tfrecords(
+                shard, verify_crc=self.verify_crc, skip_errors=True
+            ):
+                item = self._decode_one(rec)
+                if item is None:
+                    continue
+                if filling is not None:
+                    filling.append(item)
+                yield item
+        if filling is not None:
+            self._cached = filling
+
+    def _iter_decoded(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         while True:
-            order = list(self.shards)
-            if self.shuffle:
-                self.rng.shuffle(order)
-            for shard in order:
-                for rec in read_tfrecords(
-                    shard, verify_crc=self.verify_crc, skip_errors=True
-                ):
-                    item = self._decode_one(rec)
-                    if item is None:
-                        continue
-                    if filling is not None:
-                        filling.append(item)
-                    yield item
-            if filling is not None:
-                self._cached = filling
-                filling = None
-                if self.loop:
-                    yield from self._iter_decoded()
-                    return
-            if not self.loop:
+            n = 0
+            for item in self._iter_one_epoch():
+                n += 1
+                yield item
+            if not self.loop or n == 0:  # empty set: don't spin forever
                 return
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         if not self.shuffle:
             yield from self._iter_decoded()
             return
-        # shuffle buffer (tf.data .shuffle(4096) parity)
+        # shuffle buffer (tf.data .shuffle(4096) parity).  The fill phase is
+        # bounded by ONE epoch: a looping stream smaller than the buffer must
+        # not be decoded over and over just to fill it (that made tiny
+        # datasets decompress their shards ~50x before the first sample).
         buf: list[tuple[np.ndarray, np.ndarray]] = []
-        for item in self._iter_decoded():
-            if len(buf) < SHUFFLE_BUFFER:
-                buf.append(item)
-                continue
+        first_pass = self._iter_one_epoch()
+        for item in first_pass:
+            buf.append(item)
+            if len(buf) >= SHUFFLE_BUFFER:
+                break
+
+        def rest() -> Iterator:
+            yield from first_pass
+            while self.loop and buf:  # empty set: don't spin forever
+                yield from self._iter_one_epoch()
+
+        for item in rest():
             idx = self.rng.randrange(len(buf))
             yield buf[idx]
             buf[idx] = item
@@ -233,14 +253,19 @@ class BatchLoader:
     def _next_batch(self, stream) -> Optional[SampleBatch]:
         raw = np.empty((self.batch_size, self.samples_per_clip), np.float32)
         y = np.empty((self.batch_size, self.num_labels), np.float32)
+        latlng = None
         for i in range(self.batch_size):
             try:
-                r, lbl = next(stream)
+                item = next(stream)
             except StopIteration:
                 return None  # drop remainder (fixed shapes for jit)
-            raw[i] = r
-            y[i] = lbl
-        return SampleBatch(raw, y)
+            raw[i] = item[0]
+            y[i] = item[1]
+            if len(item) > 2:
+                if latlng is None:
+                    latlng = np.zeros((self.batch_size, 2), np.float32)
+                latlng[i] = item[2]
+        return SampleBatch(raw, y, latlng)
 
     def _put(self, arr: np.ndarray):
         if self.sharding is not None:
@@ -250,11 +275,13 @@ class BatchLoader:
         return jax.device_put(arr)
 
     def __iter__(self):
-        import collections
-
-        queue = collections.deque()
+        import queue as queue_mod
+        import threading
 
         def produce():
+            # batch tuple convention: (raw, y[, raw2, y2][, latlng]) — the
+            # mixup partner's GPS is dropped (the reference never mixes
+            # possible_labels either, tfdataset.py:954)
             b = self._next_batch(self.stream)
             if b is None:
                 return None
@@ -264,19 +291,59 @@ class BatchLoader:
                 if b2 is None:
                     return None
                 out += [self._put(b2.raw), self._put(b2.labels)]
+            if b.latlng is not None:
+                out.append(self._put(b.latlng))
             return tuple(out)
 
-        for _ in range(self.prefetch):
-            item = produce()
-            if item is None:
-                break
-            queue.append(item)
-        while queue:
-            item = queue.popleft()
-            nxt = produce()
-            if nxt is not None:
-                queue.append(nxt)
-            yield item
+        # host decode (gzip + proto) runs in a producer thread so it overlaps
+        # device compute — the profiled train loop was decode-bound otherwise
+        # (the tf.data prefetch(AUTOTUNE) equivalent, tfdataset.py:505)
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=max(self.prefetch, 1))
+        stop = threading.Event()
+        sentinel = object()
+
+        class _Raised:
+            def __init__(self, exc):
+                self.exc = exc
+
+        def producer():
+            try:
+                while not stop.is_set():
+                    try:
+                        item = produce()
+                    except Exception as e:  # surfaced to the consumer
+                        item = _Raised(e)
+                    done = item is None or isinstance(item, _Raised)
+                    while not stop.is_set():
+                        try:
+                            q.put(sentinel if item is None else item,
+                                  timeout=0.5)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if done:
+                        return
+            finally:
+                stop.set()
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="batch-loader-prefetch")
+        t.start()
+        try:
+            while True:
+                try:
+                    item = q.get(timeout=0.5)
+                except queue_mod.Empty:
+                    if stop.is_set() and q.empty():
+                        return
+                    continue
+                if item is sentinel:
+                    return
+                if isinstance(item, _Raised):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
 
 
 def build_training_stream(
@@ -291,18 +358,31 @@ def build_training_stream(
     weights: list[float] | None = None,
     sharding=None,
     cache: bool | None = None,
+    with_latlng: bool = False,
+    shard_groups: list[list[Path]] | None = None,
 ) -> BatchLoader:
     """End-to-end loader for one split over one or more dataset dirs
-    (main/second/human dataset merging, audiomodel.py:1582-1644)."""
+    (main/second/human dataset merging, audiomodel.py:1582-1644).
+
+    ``shard_groups`` overrides directory discovery with explicit shard-file
+    lists (one group per source stream) — the k-fold CV path partitions
+    files directly, like the reference's KFold over filenames
+    (audiomodel.py:227-233).
+    """
 
     # cache rule parity (tfdataset.py:830-833): non-train splits always cache;
     # train caching is opt-in (the full corpus may not fit in RAM).
     cache = cache if cache is not None else (split != "train")
 
+    groups = (
+        shard_groups
+        if shard_groups is not None
+        else [find_shards(d, split) for d in data_dirs]
+    )
+
     def make(seed_offset: int) -> Iterator:
         streams = []
-        for i, d in enumerate(data_dirs):
-            shards = find_shards(d, split)
+        for i, shards in enumerate(groups):
             streams.append(
                 iter(
                     RecordStream(
@@ -313,6 +393,7 @@ def build_training_stream(
                         deterministic=deterministic,
                         loop=augment,  # training streams loop; eval is 1 pass
                         cache=cache,
+                        with_latlng=with_latlng,
                     )
                 )
             )

@@ -149,8 +149,15 @@ def train_run(
     morepork_model: bool = False,
     weights: str | Path | None = None,
     weight_labels: list[str] | None = None,
+    split_shards: dict[str, list[Path]] | None = None,
 ) -> TrainRunResult:
-    """The full training pipeline on real shard data."""
+    """The full training pipeline on real shard data.
+
+    ``split_shards`` maps split name -> explicit shard-file list, overriding
+    the train/validation/test subdirectory discovery — used by the k-fold CV
+    path, which partitions the pooled shard files itself
+    (audiomodel.py:227-233).
+    """
     train_cfg = train_cfg or TrainConfig()
     cfg = featurizer or FeaturizerConfig()
     data_dirs = [Path(d) for d in data_dirs]
@@ -181,11 +188,48 @@ def train_run(
     )
     pre_eval = make_preprocess_fn(cfg, augment=False, channels=channels)
 
+    # the geo-aware weighted_bce needs per-sample GPS in every batch
+    # (tfdataset.py:1188-1212)
+    with_latlng = train_cfg.loss == "weighted_bce"
+
+    # small train splits are cached in RAM after the first decode pass and
+    # the stream is kept alive across epochs (re-decoding gzip shards every
+    # epoch starves the device; see docs/PERFORMANCE.md).  Big splits stream
+    # from disk each epoch with per-epoch shard reshuffling.
+    counts_for_cache = load_meta(data_dirs[0]).get("counts", {}).get(
+        "train", {}
+    ).get("sample_counts", {}) if data_dirs else {}
+    est_bytes = (
+        sum(counts_for_cache.values()) * cfg.samples_per_clip * 4 * 2
+    )
+    cache_train = bool(est_bytes) and est_bytes < 2 * 1024**3
+
+    train_shard_groups = (
+        [split_shards["train"]] if split_shards is not None else None
+    )
+    persistent_train = None
+    if cache_train:
+        persistent_train = iter(build_training_stream(
+            data_dirs, "train", space, cfg.samples_per_clip,
+            batch_size=train_cfg.batch_size, seed=train_cfg.seed,
+            augment=True, sharding=sharding, with_latlng=with_latlng,
+            shard_groups=train_shard_groups, cache=True,
+        ))
+
     def train_batches(epoch):
+        if persistent_train is not None:
+            # explicit next() (NOT yield from): closing this generator at the
+            # steps_per_epoch bound must not close the persistent stream
+            while True:
+                try:
+                    yield next(persistent_train)
+                except StopIteration:
+                    return
         loader = build_training_stream(
             data_dirs, "train", space, cfg.samples_per_clip,
             batch_size=train_cfg.batch_size, seed=train_cfg.seed + epoch,
-            augment=True, sharding=sharding,
+            augment=True, sharding=sharding, with_latlng=with_latlng,
+            shard_groups=train_shard_groups,
         )
         yield from loader
 
@@ -193,15 +237,21 @@ def train_run(
     # splits cache decoded samples, pipeline.py) survives across epochs
     from audio_training_tpu.data.pipeline import BatchLoader, RecordStream, find_shards, interleave
 
-    val_streams = []
-    for i, d in enumerate(data_dirs):
-        v_shards = find_shards(d, "validation")
-        if v_shards:
-            val_streams.append(
-                RecordStream(v_shards, space, cfg.samples_per_clip,
-                             seed=train_cfg.seed + i * 97, loop=False,
-                             cache=True)
-            )
+    if split_shards is not None:
+        val_shard_groups = (
+            [split_shards["validation"]] if split_shards.get("validation")
+            else []
+        )
+    else:
+        val_shard_groups = [
+            s for s in (find_shards(d, "validation") for d in data_dirs) if s
+        ]
+    val_streams = [
+        RecordStream(v_shards, space, cfg.samples_per_clip,
+                     seed=train_cfg.seed + i * 97, loop=False, cache=True,
+                     with_latlng=with_latlng)
+        for i, v_shards in enumerate(val_shard_groups)
+    ]
 
     def val_batches():
         if not val_streams:
@@ -238,7 +288,14 @@ def train_run(
 
     # epoch size for steps_per_epoch
     if steps_per_epoch is None:
-        total = int(sum(counts.values()))
+        if split_shards is not None:
+            # fold-specific file subset: the metadata counts cover the whole
+            # dataset, so count the fold's usable samples directly
+            total = RecordStream(
+                split_shards["train"], space, cfg.samples_per_clip
+            ).count()
+        else:
+            total = int(sum(counts.values()))
         if not total:
             # no counts in the metadata: count usable samples directly
             # (one decode-light pass) so the looping train stream is bounded
@@ -259,12 +316,16 @@ def train_run(
     # weighted_bce derives its negative-mask from the generic-bird structure
     bird_index = labels.index("bird") if "bird" in labels else None
     specific_bird_mask = None
+    geo_masks = None
     if train_cfg.loss == "weighted_bce" and bird_index is not None:
         specific_bird_mask = np.array(
             [1.0 if (l in ontology.all_birds and l != "bird") else 0.0
              for l in labels],
             np.float32,
         )
+        from audio_training_tpu.train.step import build_geo_masks
+
+        geo_masks = build_geo_masks(labels, ontology.all_birds)
 
     # model
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
@@ -364,6 +425,7 @@ def train_run(
         remat=train_cfg.remat,
         bird_index=bird_index,
         specific_bird_mask=specific_bird_mask,
+        geo_masks=geo_masks,
     )
 
     test_metrics: dict = {}
@@ -371,6 +433,9 @@ def train_run(
         test_metrics = run_test_confusion(
             result.state, spec, pre_eval, data_dirs, space, cfg, train_cfg,
             run_dir,
+            test_shards=(
+                split_shards.get("test") if split_shards is not None else None
+            ),
         )
 
     save_metadata(
@@ -393,8 +458,51 @@ def train_run(
                           history=result.history, test_metrics=test_metrics)
 
 
+def test_set_metrics(y_true: np.ndarray, y_pred: np.ndarray,
+                     labels: list[str], threshold: float = 0.5) -> dict:
+    """Confusion-derived test metrics (audiomodel.py:569-595, and the
+    per-label tp/fp tables of cross_fold_train, audiomodel.py:320-383).
+
+    Element-wise (pred>.5)==(true>.5) accuracy over the whole multi-label
+    matrix is dominated by true negatives (~98 % for 62 labels), so instead:
+    micro precision/recall/F1 over positive instances, plus the reference's
+    ``%Correct`` (hit positives / total positives — its cross-fold metric).
+    """
+    pred_pos = y_pred > threshold
+    true_pos = y_true > threshold
+    tp = int((pred_pos & true_pos).sum())
+    fp = int((pred_pos & ~true_pos).sum())
+    fn = int((~pred_pos & true_pos).sum())
+    positives = tp + fn
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / positives if positives else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if (precision + recall) else 0.0)
+    per_label = {}
+    for i, l in enumerate(labels):
+        pos = true_pos[:, i]
+        if not pos.any():
+            continue
+        ltp = int((pred_pos[:, i] & pos).sum())
+        lfp = int((pred_pos[:, i] & ~pos).sum())
+        per_label[l] = {
+            "support": int(pos.sum()),
+            "recall": ltp / int(pos.sum()),
+            "precision": ltp / (ltp + lfp) if (ltp + lfp) else 0.0,
+        }
+    return {
+        "test_precision": precision,
+        "test_recall": recall,
+        "test_f1": f1,
+        # reference %Correct (audiomodel.py:383): hit positives over positives
+        "test_acc": recall,
+        "test_samples": int(len(y_true)),
+        "per_label": per_label,
+    }
+
+
 def run_test_confusion(state, spec, pre_eval, data_dirs, space, cfg,
-                       train_cfg, run_dir) -> dict:
+                       train_cfg, run_dir, test_shards=None) -> dict:
     """Held-out test confusion (audiomodel.py:566-595)."""
     predict = make_predict_fn(multi_label=train_cfg.multi_label)
     y_true_all, y_pred_all = [], []
@@ -402,8 +510,10 @@ def run_test_confusion(state, spec, pre_eval, data_dirs, space, cfg,
         loader = build_training_stream(
             data_dirs, "test", space, cfg.samples_per_clip,
             batch_size=train_cfg.batch_size, augment=False,
+            shard_groups=[test_shards] if test_shards is not None else None,
         )
-        for raw, y in loader:
+        for batch in loader:
+            raw, y = batch[:2]
             mel, yy = pre_eval(raw, y)
             y_pred_all.append(np.asarray(predict(state, mel)))
             y_true_all.append(np.asarray(yy))
@@ -424,28 +534,69 @@ def run_test_confusion(state, spec, pre_eval, data_dirs, space, cfg,
     else:
         cm, out_labels = single_label_confusion(y_true, y_pred, labels)
         save_confusion(cm, out_labels, run_dir / "confusion")
-    acc = float(
-        ((y_pred > 0.5) == (y_true > 0.5)).mean()
-    )
-    return {"test_acc": acc, "test_samples": int(len(y_true))}
+    return test_set_metrics(y_true, y_pred, labels)
+
+
+def kfold_indices(n: int, folds: int, rng: np.random.Generator):
+    """sklearn KFold(n_splits, shuffle=True) equivalent: a shuffled
+    permutation split into ``folds`` contiguous validation chunks; yields
+    (train_idx, val_idx) pairs."""
+    perm = rng.permutation(n)
+    chunks = np.array_split(perm, folds)
+    for k in range(folds):
+        val = chunks[k]
+        train = np.concatenate([chunks[j] for j in range(folds) if j != k])
+        yield train, val
 
 
 def cross_fold_train(
-    data_dirs, run_name, folds: int = 5, **kwargs
+    data_dirs, run_name, folds: int = 5, test_percent: float = 0.2, **kwargs
 ) -> list[TrainRunResult]:
     """K-fold cross validation (audiomodel.cross_fold_train,
-    audiomodel.py:181-401): each fold trains with a different stream seed and
-    its own run dir."""
+    audiomodel.py:181-401): pool ALL shard files (train+validation+test),
+    shuffle, hold out ``test_percent`` of the files as a fixed test set, then
+    KFold the remainder — each fold trains on its train files and validates
+    on its held-out fold files.  Folds are file-disjoint by construction; the
+    per-fold file assignment is written to ``fold-files.json`` in each run
+    dir."""
     import dataclasses
 
+    from audio_training_tpu.data.pipeline import find_shards
+
     cfg = kwargs.pop("train_cfg", None) or TrainConfig()
-    results = []
-    for fold in range(folds):
-        fold_cfg = dataclasses.replace(cfg, seed=cfg.seed + fold * 1000)
-        results.append(
-            train_run(
-                data_dirs, f"{run_name}-fold{fold}", train_cfg=fold_cfg,
-                **kwargs,
-            )
+    data_dirs = [Path(d) for d in data_dirs]
+    files: list[Path] = []
+    for d in data_dirs:
+        for split in ("train", "validation", "test"):
+            files.extend(find_shards(d, split))
+    if len(files) < folds + 1:
+        raise ValueError(
+            f"need more than {folds} shard files for {folds}-fold CV, "
+            f"have {len(files)}"
         )
+    rng = np.random.default_rng(cfg.seed)
+    files = [files[i] for i in rng.permutation(len(files))]
+    n_test = max(int(test_percent * len(files)), 1)
+    test_files = files[:n_test]  # audiomodel.py:208-212
+    pool = files[n_test:]
+
+    results = []
+    for fold, (train_idx, val_idx) in enumerate(
+        kfold_indices(len(pool), folds, rng)
+    ):
+        split_shards = {
+            "train": [pool[i] for i in train_idx],
+            "validation": [pool[i] for i in val_idx],
+            "test": list(test_files),
+        }
+        fold_cfg = dataclasses.replace(cfg, seed=cfg.seed + fold * 1000)
+        result = train_run(
+            data_dirs, f"{run_name}-fold{fold}", train_cfg=fold_cfg,
+            split_shards=split_shards, **kwargs,
+        )
+        (result.run_dir / "fold-files.json").write_text(json.dumps(
+            {k: [str(p) for p in v] for k, v in split_shards.items()},
+            indent=2,
+        ))
+        results.append(result)
     return results

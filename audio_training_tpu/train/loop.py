@@ -103,12 +103,14 @@ def fit(
     remat: bool = False,
     bird_index: int | None = None,
     specific_bird_mask=None,
+    geo_masks=None,
 ) -> FitResult:
     """Run the full training schedule.
 
-    ``train_batches(epoch)`` yields host batch tuples — ``(raw, y)`` or
-    ``(raw, y, raw2, y2)`` when mixup is on; ``preprocess`` is the fused
-    device map from :func:`audio_training_tpu.data.preprocess.make_preprocess_fn`.
+    ``train_batches(epoch)`` yields host batch tuples —
+    ``(raw, y[, raw2, y2][, latlng])`` (mixup partner / GPS optional);
+    ``preprocess`` is the fused device map from
+    :func:`audio_training_tpu.data.preprocess.make_preprocess_fn`.
     """
     train_step = make_train_step(
         loss_name=loss_name,
@@ -118,10 +120,11 @@ def fit(
         remat=remat,
         bird_index=bird_index,
         specific_bird_mask=specific_bird_mask,
+        geo_masks=geo_masks,
     )
     eval_step = make_eval_step(
         loss_name=loss_name, multi_label=multi_label, bird_index=bird_index,
-        specific_bird_mask=specific_bird_mask,
+        specific_bird_mask=specific_bird_mask, geo_masks=geo_masks,
     )
     val_preprocess = val_preprocess or preprocess
 
@@ -142,13 +145,18 @@ def fit(
         n_steps = 0
         for batch in train_batches(epoch):
             key, kpre, kdrop = jax.random.split(key, 3)
+            latlng = None
+            if len(batch) % 2 == 1:  # GPS rides last (pipeline.BatchLoader)
+                latlng = batch[-1]
+                batch = batch[:-1]
             if augment and len(batch) == 4:
                 raw, y, raw2, y2 = batch
                 mel, yy = preprocess(raw, y, raw2, y2, kpre)
             else:
                 raw, y = batch[:2]
                 mel, yy = preprocess(raw, y)
-            state, metrics = train_step(state, metrics, mel, yy, kdrop)
+            state, metrics = train_step(state, metrics, mel, yy, kdrop,
+                                        latlng=latlng)
             n_steps += 1
             if steps_per_epoch is not None and n_steps >= steps_per_epoch:
                 break
@@ -159,8 +167,9 @@ def fit(
             vmetrics = metrics_init()
             for batch in val_batches():
                 raw, y = batch[:2]
+                latlng = batch[-1] if len(batch) % 2 == 1 else None
                 mel, yy = val_preprocess(raw, y)
-                vmetrics = eval_step(state, vmetrics, mel, yy)
+                vmetrics = eval_step(state, vmetrics, mel, yy, latlng=latlng)
             for k, v in metrics_compute(vmetrics).items():
                 logs[f"val_{k}"] = v
 

@@ -10,14 +10,81 @@ all-reduce over ICI (SURVEY.md §2.2).  This replaces the reference's Keras
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from audio_training_tpu.train.losses import get_loss
 from audio_training_tpu.train.metrics import metrics_init, metrics_update
 from audio_training_tpu.train.state import TrainState
+
+# NZ bounding box [lng_min, lat_max, lng_max, lat_min] (tfdataset.py:35)
+NZ_BOX = (166.509144322, -34.4506617165, 178.517093541, -46.641235447)
+
+
+class GeoMasks(NamedTuple):
+    """Static per-label mask vectors for the geo-aware weighted_bce
+    (tfdataset.py:229-248): which outputs count as specific birds, which is
+    the generic ``bird`` output, and the two negative-term weightings used
+    for generic-bird-only clips inside/outside the NZ bounding box."""
+
+    specific: np.ndarray  # 1 where label is a specific (non-generic) bird
+    generic: np.ndarray  # 1 at "bird"
+    nz_weighting: np.ndarray  # NZ_BIRD_LOSS_WEIGHTING: 1 at bird (+rifleman)
+    bird_weighting: np.ndarray  # BIRD_WEIGHTING: 1 at bird only
+
+
+def build_geo_masks(labels: list[str], all_birds) -> GeoMasks | None:
+    """Build the four mask vectors exactly as get_a_dataset does
+    (tfdataset.py:229-248).  Returns None when there is no generic ``bird``
+    output (the geo weighting is then undefined)."""
+    if "bird" not in labels:
+        return None
+    n = len(labels)
+    specific = np.zeros(n, np.float32)
+    generic = np.zeros(n, np.float32)
+    nz_w = np.zeros(n, np.float32)
+    bird_w = np.zeros(n, np.float32)
+    bi = labels.index("bird")
+    generic[bi] = 1.0
+    bird_w[bi] = 1.0
+    nz_w[bi] = 1.0
+    if "rifleman" in labels:  # tfdataset.py:236-237
+        nz_w[labels.index("rifleman")] = 1.0
+    for i, l in enumerate(labels):
+        if l in all_birds and l != "bird":
+            specific[i] = 1.0
+    return GeoMasks(specific, generic, nz_w, bird_w)
+
+
+def possible_from_geo(y: jax.Array, latlng: jax.Array, geo: GeoMasks) -> jax.Array:
+    """Per-sample negative-term mask from targets + recording GPS
+    (read_tfrecord, tfdataset.py:1188-1212).
+
+    Clips whose only bird tag is the generic ``bird`` output get their
+    negative loss restricted: inside the NZ box (or with unknown GPS) to
+    ``NZ_BIRD_LOSS_WEIGHTING``, outside it to ``BIRD_WEIGHTING`` — i.e. a
+    specific-species guess on an unidentified-bird clip is never penalized,
+    and outside NZ even the rifleman negative is dropped.
+    """
+    specific = jnp.asarray(geo.specific, y.dtype)
+    generic = jnp.asarray(geo.generic, y.dtype)
+    nz_w = jnp.asarray(geo.nz_weighting, y.dtype)
+    bird_w = jnp.asarray(geo.bird_weighting, y.dtype)
+    has_specific = (y * specific).sum(axis=-1, keepdims=True) > 0
+    has_generic = (y * generic).sum(axis=-1, keepdims=True) > 0
+    generic_only = has_generic & ~has_specific  # (B, 1)
+    lat = latlng[..., 0:1]
+    lng = latlng[..., 1:2]
+    unknown = (lat == 0) | (lng == 0)  # tfdataset.py:1201-1203
+    in_nz = (
+        (lat <= NZ_BOX[1]) & (lat >= NZ_BOX[3])
+        & (lng >= NZ_BOX[0]) & (lng <= NZ_BOX[2])
+    )
+    geo_possible = jnp.where(unknown | in_nz, nz_w, bird_w)  # (B, L)
+    return jnp.where(generic_only, geo_possible, jnp.ones_like(y))
 
 
 def possible_labels_from_targets(
@@ -49,14 +116,22 @@ def make_train_step(
     remat: bool = False,
     bird_index: int | None = None,
     specific_bird_mask=None,
+    geo_masks: GeoMasks | None = None,
 ) -> Callable:
-    """Returns step(state, mel, y, dropout_key[, possible]) ->
+    """Returns step(state, mel, y, dropout_key[, possible][, latlng]) ->
     (state, metrics_state').  ``remat`` wraps the forward in
     ``jax.checkpoint`` (rematerialize activations in the backward pass,
-    trading FLOPs for HBM — lets batch sizes grow past activation memory)."""
+    trading FLOPs for HBM — lets batch sizes grow past activation memory).
+
+    With ``geo_masks`` set and a per-sample ``latlng`` batch given, the
+    weighted_bce negative mask follows the reference's NZ-bounding-box rule
+    (possible_from_geo); otherwise it falls back to the target-only
+    approximation (possible_labels_from_targets).
+    """
     loss_fn = get_loss(loss_name)
 
-    def step(state: TrainState, metrics, mel, y, dropout_key, possible=None):
+    def step(state: TrainState, metrics, mel, y, dropout_key, possible=None,
+             latlng=None):
         def forward(params, mel):
             return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -74,6 +149,8 @@ def make_train_step(
             logits = out
             if loss_name == "weighted_bce":
                 p = possible
+                if p is None and latlng is not None and geo_masks is not None:
+                    p = possible_from_geo(y, latlng, geo_masks)
                 if p is None:
                     p = possible_labels_from_targets(
                         y, bird_index, specific_bird_mask
@@ -105,16 +182,19 @@ def make_eval_step(
     label_smoothing: float = 0.0,
     bird_index: int | None = None,
     specific_bird_mask=None,
+    geo_masks: GeoMasks | None = None,
 ) -> Callable:
     loss_fn = get_loss(loss_name)
 
-    def step(state: TrainState, metrics, mel, y, possible=None):
+    def step(state: TrainState, metrics, mel, y, possible=None, latlng=None):
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             mel,
             train=False,
         )
         if loss_name == "weighted_bce":
+            if possible is None and latlng is not None and geo_masks is not None:
+                possible = possible_from_geo(y, latlng, geo_masks)
             if possible is None:
                 possible = possible_labels_from_targets(
                     y, bird_index, specific_bird_mask

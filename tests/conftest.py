@@ -21,6 +21,13 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
+# Persistent compilation cache: every train_run builds fresh jit closures
+# (new in-memory cache), but identical HLO is reused from disk — cuts the
+# e2e CLI tests from ~9 min to ~1 min after the first run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
@@ -36,10 +43,11 @@ def has_tf() -> bool:
     return importlib.util.find_spec("tensorflow") is not None
 
 
-# TF-parity tests are opt-in (RUN_TF_PARITY=1): importing TF takes minutes on
-# small hosts, and the numerical oracles they check against are also covered
-# by the pure-numpy oracle tests that always run.
+# TF-parity tests run by default whenever TensorFlow is importable — they are
+# the numerical anchor to the reference's stft/pcen/featurizer/record-wire and
+# model logits.  They carry the slow marker (TF import is minutes on a 1-core
+# host); the fast tier (-m "not slow") skips them.
 requires_tf = pytest.mark.skipif(
-    not (has_tf() and os.environ.get("RUN_TF_PARITY") == "1"),
-    reason="TF parity tests are opt-in: set RUN_TF_PARITY=1",
+    not has_tf(), reason="TensorFlow not installed"
 )
+tf_parity = [requires_tf, pytest.mark.slow]

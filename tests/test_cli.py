@@ -8,6 +8,9 @@ import pytest
 
 from audio_training_tpu.corpus.audioio import save_wav
 
+# whole module is the slow tier: real (tiny) trainings end-to-end
+pytestmark = pytest.mark.slow
+
 SR = 8000
 
 
@@ -212,8 +215,27 @@ def test_cross_fold_train(built_dataset, tmp_path):
     assert len(results) == 2
     assert (tmp_path / "cv-fold0" / "chkpt").exists()
     assert (tmp_path / "cv-fold1" / "chkpt").exists()
-    # folds use different stream seeds
-    assert results[0].history["loss"] != results[1].history["loss"]
+
+    # real k-fold: within a fold, train/validation/test files are disjoint;
+    # across folds, every pooled file is validated exactly once and the
+    # held-out test set is identical
+    fold_files = [
+        json.loads((tmp_path / f"cv-fold{i}" / "fold-files.json").read_text())
+        for i in range(2)
+    ]
+    all_val = []
+    for ff in fold_files:
+        train, val, test = (
+            set(ff["train"]), set(ff["validation"]), set(ff["test"])
+        )
+        assert train and val and test
+        assert train.isdisjoint(val)
+        assert train.isdisjoint(test)
+        assert val.isdisjoint(test)
+        all_val.extend(ff["validation"])
+    assert fold_files[0]["test"] == fold_files[1]["test"]
+    pool = set(fold_files[0]["train"]) | set(fold_files[0]["validation"])
+    assert set(all_val) == pool and len(all_val) == len(pool)
 
 
 def test_evaluate_cli_weak_and_compare(trained_run, tmp_path):

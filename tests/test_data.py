@@ -88,6 +88,7 @@ def test_example_roundtrip():
 
 
 @requires_tf
+@pytest.mark.slow
 def test_example_wire_compatible_with_tf():
     import tensorflow as tf
 
@@ -112,6 +113,7 @@ def test_example_wire_compatible_with_tf():
 
 
 @requires_tf
+@pytest.mark.slow
 def test_tfrecord_file_readable_by_tf(tmp_path):
     import tensorflow as tf
 

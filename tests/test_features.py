@@ -42,6 +42,7 @@ def test_normalize_rows_matches_reference_formula():
 
 
 @requires_tf
+@pytest.mark.slow
 def test_raw_to_mel_matches_tf_pipeline():
     """End-to-end featurizer parity vs tfdataset.raw_to_mel
     (tfdataset.py:2008-2059) built from raw TF ops."""

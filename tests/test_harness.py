@@ -74,6 +74,7 @@ def test_init_labels_morepork_model(tmp_path):
     assert space.one_hot([morepo_sid])[space.index_of("morepo2")] == 1
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_multichip():
     """The driver's multi-chip validation runs inside the suite too."""
     import sys
@@ -86,6 +87,7 @@ def test_graft_entry_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_fn_compiles_cpu():
     import sys
 

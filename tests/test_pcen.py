@@ -60,6 +60,7 @@ def test_pcen_matches_numpy_oracle():
 
 
 @requires_tf
+@pytest.mark.slow
 def test_pcen_matches_tf_reference_semantics():
     """Re-create the reference layer math with TF ops (tf.scan EMA + the
     PCEN formula from tfpcen.py:89-99) and compare."""

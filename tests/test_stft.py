@@ -21,6 +21,7 @@ def test_frame_counts():
 
 
 @requires_tf
+@pytest.mark.slow
 def test_stft_matches_tf_signal():
     import tensorflow as tf
 
@@ -36,6 +37,7 @@ def test_stft_matches_tf_signal():
 
 
 @requires_tf
+@pytest.mark.slow
 def test_hann_matches_tf():
     import tensorflow as tf
 

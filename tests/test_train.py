@@ -330,3 +330,68 @@ def test_restore_with_new_head_shape_merge(tmp_path):
     # head stays fresh (5 outputs) and forward still works
     out = make_predict_fn()(merged, jnp.asarray(mel))
     assert out.shape == (mel.shape[0], 5)
+
+
+def test_possible_from_geo_nz_box():
+    """Geo-aware negative mask (tfdataset.py:1188-1212): a generic-bird clip
+    outside the NZ box masks ALL negatives except ``bird``; inside (or with
+    unknown GPS) it matches NZ_BIRD_LOSS_WEIGHTING (bird + rifleman)."""
+    from audio_training_tpu.train.step import build_geo_masks, possible_from_geo
+
+    labels = ["bird", "kiwi", "noise", "rifleman"]
+    geo = build_geo_masks(labels, all_birds={"bird", "kiwi", "rifleman"})
+    assert geo is not None
+    np.testing.assert_array_equal(geo.nz_weighting, [1, 0, 0, 1])
+    np.testing.assert_array_equal(geo.bird_weighting, [1, 0, 0, 0])
+
+    y = jnp.asarray([
+        [1.0, 0.0, 0.0, 0.0],  # generic bird, inside NZ
+        [1.0, 0.0, 0.0, 0.0],  # generic bird, outside NZ (Australia)
+        [1.0, 0.0, 0.0, 0.0],  # generic bird, unknown GPS
+        [1.0, 1.0, 0.0, 0.0],  # specific bird clip — geo rule doesn't apply
+        [0.0, 0.0, 1.0, 0.0],  # noise clip — geo rule doesn't apply
+    ])
+    latlng = jnp.asarray([
+        [-41.3, 174.8],  # Wellington
+        [-33.9, 151.2],  # Sydney
+        [0.0, 0.0],
+        [-33.9, 151.2],
+        [-33.9, 151.2],
+    ])
+    mask = np.asarray(possible_from_geo(y, latlng, geo))
+    np.testing.assert_array_equal(mask[0], [1, 0, 0, 1])  # NZ weighting
+    np.testing.assert_array_equal(mask[1], [1, 0, 0, 0])  # bird-only
+    np.testing.assert_array_equal(mask[2], [1, 0, 0, 1])  # unknown -> NZ
+    np.testing.assert_array_equal(mask[3], [1, 1, 1, 1])
+    np.testing.assert_array_equal(mask[4], [1, 1, 1, 1])
+
+
+def test_geo_train_step_runs():
+    from audio_training_tpu.train.step import build_geo_masks
+
+    spec, mel, y = _tiny_model_and_data()
+    geo = build_geo_masks(["bird", "kiwi", "noise"],
+                          all_birds={"bird", "kiwi"})
+    state = create_train_state(spec.module, (jnp.asarray(mel),),
+                               learning_rate=1e-3)
+    step = make_train_step(loss_name="weighted_bce", donate=False,
+                           geo_masks=geo)
+    latlng = jnp.tile(jnp.asarray([[-41.3, 174.8]]), (mel.shape[0], 1))
+    metrics = fresh_metrics()
+    state, metrics = step(state, metrics, jnp.asarray(mel), jnp.asarray(y),
+                          jax.random.PRNGKey(0), latlng=latlng)
+    assert np.isfinite(float(metrics["loss_sum"]))
+
+
+def test_kfold_indices_disjoint_and_complete():
+    from audio_training_tpu.train.harness import kfold_indices
+
+    rng = np.random.default_rng(0)
+    n, folds = 23, 5
+    seen_val = []
+    for train_idx, val_idx in kfold_indices(n, folds, rng):
+        assert set(train_idx).isdisjoint(val_idx)
+        assert len(set(train_idx) | set(val_idx)) == n
+        seen_val.extend(val_idx)
+    # every element is validated exactly once across folds
+    assert sorted(seen_val) == list(range(n))
