@@ -23,6 +23,21 @@ def parse_args(argv=None):
     weak.add_argument("--threshold", type=float, default=0.7)
     weak.add_argument("--out", default="./confusions/weak")
 
+    strong = sub.add_parser(
+        "strong",
+        help="Evaluate a strong-label (sidecar-annotated) directory "
+             "(audiomodel.evaluate_dir parity)",
+    )
+    strong.add_argument("model", help="Run/deployment dir")
+    strong.add_argument("dir", help="Directory of <rec>.{wav,txt} pairs")
+    strong.add_argument("-w", "--weights", default="val-loss")
+    strong.add_argument("--threshold", type=float, default=0.7)
+    strong.add_argument("--workers", type=int, default=1,
+                        help="Preprocess pool size (reference uses 8)")
+    strong.add_argument("--rec-ids", default=None,
+                        help="Comma-separated recording ids to keep")
+    strong.add_argument("--out", default="./confusions/strong")
+
     comp = sub.add_parser("compare", help="Compare two confusion .npy files")
     comp.add_argument("first_confusion")
     comp.add_argument("second_confusion")
@@ -30,6 +45,9 @@ def parse_args(argv=None):
     thr = sub.add_parser("thresholds",
                          help="Best per-class thresholds from a raw dump")
     thr.add_argument("raw_npy", help="<confusion>-raw.npy dump")
+    thr.add_argument("--out", default=None,
+                     help="Write the thresholds table as JSON (feed to "
+                          "predict --thresholds-json)")
     return parser.parse_args(argv)
 
 
@@ -48,6 +66,25 @@ def main(argv=None) -> int:
         correct = int(np.trace(result.mean_cm))
         total = int(result.mean_cm.sum())
         logging.info("mean-agg accuracy: %s/%s", correct, total)
+        return 0
+    if args.cmd == "strong":
+        from audio_training_tpu.cli.predict import load_predictor
+        from audio_training_tpu.eval.strong import evaluate_strong_dir
+
+        predictor, meta = load_predictor(Path(args.model), args.weights)
+        rec_ids = None
+        if args.rec_ids:
+            rec_ids = [int(r) for r in args.rec_ids.split(",")]
+        result = evaluate_strong_dir(
+            predictor, args.dir, out_prefix=args.out,
+            threshold=args.threshold, workers=args.workers,
+            remapped_labels=meta.get("remapped_labels"), rec_ids=rec_ids,
+        )
+        for name, cm in (("mean", result.mean_cm), ("max", result.max_cm),
+                         ("counts", result.counts_cm)):
+            correct = int(np.trace(cm))
+            total = int(cm.sum())
+            logging.info("%s-agg accuracy: %s/%s", name, correct, total)
         return 0
     if args.cmd == "compare":
         import json
@@ -86,6 +123,12 @@ def main(argv=None) -> int:
         )
         for l, t in th.items():
             logging.info("%s: %.3f", l, t)
+        if args.out:
+            import json as _json
+
+            out = Path(args.out)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(_json.dumps(th, indent=2))
         return 0
     return 1
 

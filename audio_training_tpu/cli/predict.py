@@ -32,6 +32,21 @@ def parse_args(argv=None):
     parser.add_argument("--denoise", action="count",
                         help="Spectral-gate denoise before detection "
                              "(predict.denoise_spec parity)")
+    parser.add_argument("--thresholds-json", default=None,
+                        help="Per-class thresholds JSON (label -> threshold),"
+                             " e.g. from 'evaluate thresholds --out'"
+                             " (preeval.py:143-221 + predict.py:503 parity)")
+    parser.add_argument("--folder-eval", default=None,
+                        help="Score best_track-annotated recordings under "
+                             "this dir (predict.predict_on_folder parity)")
+    parser.add_argument("--test-split", default=None,
+                        help="Pinned split JSON: evaluate the held-out test "
+                             "recordings (predict.predict_on_test parity); "
+                             "requires --data-dir")
+    parser.add_argument("--data-dir", default=None,
+                        help="Corpus dir for --test-split")
+    parser.add_argument("--confusion-out", default="./confusions/test-split",
+                        help="Confusion output prefix for --test-split")
     return parser.parse_args(argv)
 
 
@@ -122,6 +137,46 @@ def main(argv=None) -> int:
     if args.grid:
         grid_meta = json.loads(Path(args.grid).read_text())
 
+    # scalar default, overridden per class by a thresholds JSON
+    threshold = args.threshold
+    if args.thresholds_json:
+        import numpy as np
+
+        table = json.loads(Path(args.thresholds_json).read_text())
+        threshold = np.array(
+            [float(table.get(l, args.threshold)) for l in predictor.labels],
+            np.float32,
+        )
+
+    if args.folder_eval:
+        from audio_training_tpu.infer.folder import predict_on_folder
+
+        result = predict_on_folder(predictor, args.folder_eval,
+                                   threshold=args.threshold)
+        if args.json_out:
+            Path(args.json_out).write_text(json.dumps(
+                {"accuracy": result.accuracy,
+                 "total_files": result.total_files,
+                 "total_correct": result.total_correct,
+                 "per_file": result.per_file}, indent=2))
+        return 0
+
+    if args.test_split:
+        if not args.data_dir:
+            logging.error("--test-split requires --data-dir")
+            return 1
+        from audio_training_tpu.infer.folder import predict_on_test
+
+        cm, labels = predict_on_test(
+            predictor, args.test_split, args.data_dir,
+            confusion_file=args.confusion_out,
+            remapped_labels=meta.get("remapped_labels"),
+        )
+        correct = int(cm.trace())
+        total = int(cm.sum())
+        logging.info("test split: %s/%s correct", correct, total)
+        return 0
+
     files = []
     if args.file:
         files = [Path(args.file)]
@@ -132,7 +187,7 @@ def main(argv=None) -> int:
             if f.suffix.lower() in (".wav", ".mp3", ".m4a", ".flac")
         )
     else:
-        logging.error("Need --file or --dir")
+        logging.error("Need --file, --dir, --folder-eval or --test-split")
         return 1
 
     all_results = {}

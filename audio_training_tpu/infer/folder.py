@@ -110,9 +110,16 @@ def predict_on_test(
     confusion_file: str | Path | None = None,
     remapped_labels: dict[str, int] | None = None,
     extra_label_map: dict[str, int] | None = None,
+    sampling_config=None,
 ) -> tuple[np.ndarray, list[str]]:
     """Classify every stored sample of the pinned test split and build a
-    single-label (argmax) confusion (predict.py:599-720)."""
+    single-label (argmax) confusion (predict.py:599-720).
+
+    ``sampling_config`` defaults to the most permissive settings (no RMS
+    filtering/tightening) so recordings without stored RMS metadata still
+    yield samples; pass the build-time config to reproduce the exact split.
+    """
+    from audio_training_tpu.config import SamplingConfig
     from audio_training_tpu.corpus.dataset import AudioDataset
     from audio_training_tpu.corpus.split import split_by_file
 
@@ -121,7 +128,10 @@ def predict_on_test(
     remapped_labels = remapped_labels or {}
     extra_label_map = extra_label_map or {}
 
-    dataset = AudioDataset("all")
+    if sampling_config is None:
+        sampling_config = SamplingConfig(tighten_tracks=False,
+                                         filter_rms=False)
+    dataset = AudioDataset("all", sampling_config)
     dataset.load_meta(base_dir)
     split_meta = json.loads(Path(split_file).read_text())
     _, _, test = split_by_file(dataset, split_meta)

@@ -210,7 +210,7 @@ def aggregate_tracks(
     track_index: np.ndarray,
     num_tracks: int,
     labels: list[str],
-    threshold: float = 0.7,
+    threshold: float | np.ndarray = 0.7,
     model_name: str = "model",
     mode: str = "mean",
 ) -> list[ModelResult | None]:
@@ -221,7 +221,14 @@ def aggregate_tracks(
     ``votes``: count windows whose argmax clears the threshold, label wins
     with any votes (audiomodel.evaluate_dir count path, :1888-1933).
     Tracks with no windows (skipped/out-of-band) get ``None``.
+
+    ``threshold`` may be a per-label vector — the reference ships a
+    hard-coded per-class threshold table clipped to [0.5, 0.9] and applies
+    it at predict time (preeval.py:143-221, predict.py:503); build one with
+    :func:`audio_training_tpu.eval.thresholds.best_thresholds`.
     """
+    thr = np.broadcast_to(np.asarray(threshold, np.float32),
+                          (len(labels),)).copy()
     results: list[ModelResult | None] = []
     for ti in range(num_tracks):
         mask = track_index == ti
@@ -236,7 +243,7 @@ def aggregate_tracks(
             counts = np.zeros(len(labels))
             for row in p:
                 mi = int(row.argmax())
-                if row[mi] >= threshold:
+                if row[mi] >= thr[mi]:
                     counts[mi] += 1
             agg = counts / max(len(p), 1)
             mean = p.mean(axis=0)
@@ -254,7 +261,7 @@ def aggregate_tracks(
             agg = p.mean(axis=0)
         max_i = int(agg.argmax())
         for i, v in enumerate(agg):
-            if v >= threshold:
+            if v >= thr[i]:
                 result.labels.append(labels[i])
                 result.confidences.append(round(float(v) * 100))
         if not result.labels:

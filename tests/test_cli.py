@@ -275,3 +275,101 @@ def test_evaluate_cli_weak_and_compare(trained_run, tmp_path):
         str(tmp_path / "b" / "confusion.npy"),
     ])
     assert rc == 0
+
+
+def test_evaluate_cli_strong_dir(trained_run, tmp_path):
+    """Strong-label directory eval (audiomodel.evaluate_dir parity): sidecar
+    track tags -> mean/max/counts confusions + raw dumps."""
+    from audio_training_tpu.cli.evaluate import main as evaluate_main
+
+    strong_dir = tmp_path / "strong"
+    strong_dir.mkdir()
+    write_corpus(strong_dir, n_recs=4)
+    out_prefix = tmp_path / "conf" / "strong"
+    rc = evaluate_main([
+        "strong", str(trained_run.run_dir), str(strong_dir),
+        "-w", "chkpt", "--out", str(out_prefix),
+    ])
+    assert rc == 0
+    for suffix in ("mean", "max", "counts"):
+        assert (out_prefix.parent / f"strong-{suffix}.npy").exists()
+    assert (out_prefix.parent / "strong-raw.npy").exists()
+    assert (out_prefix.parent / "strong-raw-confidences.pkl").exists()
+    cm = np.load(out_prefix.parent / "strong-mean.npy")
+    assert cm.sum() > 0  # tracks were actually evaluated
+
+
+def test_predict_cli_folder_eval(trained_run, tmp_path):
+    """best_track folder scoring (predict.predict_on_folder parity)."""
+    from audio_training_tpu.cli.predict import main as predict_main
+
+    folder = tmp_path / "folder"
+    folder.mkdir()
+    rng = np.random.default_rng(7)
+    t = np.arange(SR * 6) / SR
+    frames = (np.sin(2 * np.pi * 1200 * t) * (t < 5)).astype(np.float32)
+    frames += 0.01 * rng.standard_normal(len(frames)).astype(np.float32)
+    save_wav(folder / "r1.wav", frames, SR)
+    (folder / "r1.txt").write_text(json.dumps({
+        "id": "r1", "duration": 6.0,
+        "best_track": {"start": 0.5, "end": 5.5,
+                       "tags": [{"what": "kiwi"}]},
+    }))
+    out_json = tmp_path / "folder.json"
+    rc = predict_main([
+        str(trained_run.run_dir), "--folder-eval", str(folder),
+        "-w", "chkpt", "--json-out", str(out_json),
+    ])
+    assert rc == 0
+    data = json.loads(out_json.read_text())
+    assert data["total_files"] == 1
+    assert data["per_file"][0]["label"] == "kiwi"
+
+
+def test_predict_cli_test_split(built_dataset, trained_run, tmp_path):
+    """Pinned-split test evaluation (predict.predict_on_test parity):
+    training-meta.json doubles as the split file (it carries rec ids per
+    split, build.py:795-814)."""
+    from audio_training_tpu.cli.predict import main as predict_main
+
+    # the corpus dir is the parent fixture's raw dir; re-create a tiny one
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    write_corpus(corpus, n_recs=6)
+    split = {"recs": {"train": ["rec0", "rec1"], "validation": ["rec2"],
+                      "test": ["rec3", "rec4", "rec5"]}}
+    split_file = tmp_path / "split.json"
+    split_file.write_text(json.dumps(split))
+    conf_out = tmp_path / "conf" / "test-split"
+    rc = predict_main([
+        str(trained_run.run_dir), "--test-split", str(split_file),
+        "--data-dir", str(corpus), "-w", "chkpt",
+        "--confusion-out", str(conf_out),
+    ])
+    assert rc == 0
+    cm = np.load(conf_out.with_suffix(".npy"))
+    assert cm.sum() > 0
+
+
+def test_predict_cli_per_class_thresholds(trained_run, tmp_path):
+    """Per-class threshold table at predict time (preeval.py:143-221 +
+    predict.py:503 parity)."""
+    from audio_training_tpu.cli.predict import main as predict_main
+
+    table = {l: 0.5 for l in trained_run.labels}
+    thresholds_file = tmp_path / "thresholds.json"
+    thresholds_file.write_text(json.dumps(table))
+    rng = np.random.default_rng(9)
+    t = np.arange(SR * 5) / SR
+    frames = (np.sin(2 * np.pi * 1100 * t) * (t % 3 < 1.4)).astype(np.float32)
+    frames += 0.02 * rng.standard_normal(len(frames)).astype(np.float32)
+    wav = tmp_path / "pt.wav"
+    save_wav(wav, frames, SR)
+    out_json = tmp_path / "pt.json"
+    rc = predict_main([
+        str(trained_run.run_dir), "--file", str(wav), "-w", "chkpt",
+        "--thresholds-json", str(thresholds_file),
+        "--json-out", str(out_json),
+    ])
+    assert rc == 0
+    assert out_json.exists()
