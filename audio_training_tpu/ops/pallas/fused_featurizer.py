@@ -1,0 +1,340 @@
+"""Fully-fused waveform -> mel -> PCEN Pallas TPU kernel.
+
+Replaces the XLA matmul-FFT path (ops/fftmel.py) + associative-scan PCEN
+(ops/pcen.py) for the production inference geometry (n_fft=4096, hop=281).
+The XLA path is HBM-bound: it materializes the framed signal and both DFT
+stages in HBM (~15 GB per 256-clip batch, measured 55 ms).  This kernel
+reads each raw clip once (~190 MB/batch), runs framing -> window ->
+two-stage matmul-DFT -> power -> mel -> PCEN entirely in VMEM, and writes
+only the (n_mels, frames) PCEN image (~105 MB/batch).
+
+Reference behavior being replaced: ``tfdataset.py:2008-2059`` (tf.signal
+stft+mel) and ``tfpcen.py:33-99`` (EMA smoother + PCEN).
+
+Mosaic layout rules this design obeys (probed on the target toolchain —
+notably, a *dynamic* lane-slice base combined with a non-128-aligned static
+offset crashes the backend compiler, so the kernel grids over clips only and
+unrolls the frame tiles in Python, making every slice offset fully static):
+
+* frame tiles are 128 frames: ``hop * 128 = 281 * 128 = 35968`` is a lane
+  multiple, so each tile's static base keeps all 128 in-tile slice offsets
+  within one aligned window;
+* no lane-dimension merges: the only reshapes are the minor-dim split
+  ``(F, 4096) -> (F, 32, 128)`` and the sublane merge ``(32, 32, 128) ->
+  (1024, 128)``, both layout-preserving;
+* all matmuls keep the lane operand dimension at 128 and run on the MXU
+  (re/im stacked into the M dimension of stage 1);
+* PCEN's causal EMA over a 128-frame tile is ONE lower-triangular Toeplitz
+  matmul (``L[j, t] = (1-w)^(t-j)``, built in-kernel from the runtime
+  ``smooth`` scalar) plus a decay-weighted carry flowing tile to tile as a
+  loop value — no sequential scan anywhere.
+
+DFT decomposition (n_fft = 4096 = 32 * 128): with n = 128*n1 + n2 and
+k = k1 + 32*k2 (k1 in [0,32), k2 in [0,32) covering bins 0..1023 — the
+11 kHz filterbank's support ends at bin ~940):
+
+    stage 1:  A[k1, n2] = sum_n1 xw[128*n1 + n2] * W32^(n1*k1)
+    stage 2:  X[k1, k2] = sum_n2 A[k1, n2] * W4096^(n2*k1) * W128^(n2*k2)
+
+with the twiddle folded into the stage-2 operators at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_training_tpu.ops.stft import hann_window, num_frames_tf
+
+R1 = 32  # stage-1 DFT size (k1 bins)
+R2 = 128  # stage-2 DFT size (n2 / lane dimension)
+K2C = 32  # stage-2 columns kept: bins k1 + 32*k2 cover 0..1023
+TILE = 128  # frames per in-kernel tile; 281*128 % 128 == 0
+N_FFT = R1 * R2
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _dft_constants(hop: int) -> dict[str, np.ndarray]:
+    """Trace-time operator tables for the two-stage DFT."""
+    n1 = np.arange(R1)[:, None]
+    k1 = np.arange(R1)[None, :]
+    w32 = np.exp(-2j * np.pi * n1 * k1 / R1)  # [n1, k1]
+    # stage-1 operator with re over im stacked into M: (2*R1, R1) = [k1ri, n1]
+    d1ri = np.concatenate([w32.real.T, w32.imag.T], axis=0).astype(np.float32)
+
+    n2 = np.arange(R2)
+    k2 = np.arange(K2C)
+    tw = np.exp(-2j * np.pi * np.arange(R1)[:, None] * n2[None, :] / N_FFT)
+    d2 = np.exp(-2j * np.pi * n2[:, None] * k2[None, :] / R2)  # [n2, k2]
+    # folded stage-2 coefficient C[k1, n2, k2] = tw[k1, n2] * d2[n2, k2]
+    c = tw[:, :, None] * d2[None, :, :]
+    # operators are pre-transposed to (k1, j, n2) so the batched dot
+    # produces (k1, j, frames) with frames on the lane dimension;
+    # j in [0, K2C) is X_re[k2=j], j in [K2C, 2*K2C) is X_im[k2=j-K2C].
+    e_re = np.concatenate(  # coefficient of a_re
+        [c.real.transpose(0, 2, 1), c.imag.transpose(0, 2, 1)], axis=1
+    ).astype(np.float32)
+    e_im = np.concatenate(  # coefficient of a_im
+        [-c.imag.transpose(0, 2, 1), c.real.transpose(0, 2, 1)], axis=1
+    ).astype(np.float32)
+    win = hann_window(N_FFT)[None, :]  # (1, n_fft)
+    return {"d1ri": d1ri, "e_re": e_re, "e_im": e_im, "win": win}
+
+
+def pack_mel_flat(mel_weights: np.ndarray) -> np.ndarray:
+    """(M, 1+n_fft//2) filterbank -> (M, R1*K2C) in (k1, k2) bin order
+    (bin k = k1 + R1*k2 lives at flat index k1*K2C + k2)."""
+    m, n_bins = mel_weights.shape
+    out = np.zeros((m, R1 * K2C), np.float32)
+    k = np.arange(R1 * K2C)
+    k1, k2 = k % R1, k // R1
+    valid = k < n_bins
+    out[:, (k1 * K2C + k2)[valid]] = mel_weights[:, k[valid]]
+    return out
+
+
+def _featurizer_kernel(
+    params_ref,  # SMEM (8,): gain bias root smooth eps ...
+    raw_ref,  # (1, 1, L) one clip
+    d1ri_ref,  # (2*R1, R1)
+    e_re_ref,  # (R1, 2*K2C, R2)
+    e_im_ref,  # (R1, 2*K2C, R2)
+    win_ref,  # (1, N_FFT)
+    melw_ref,  # (M_pad, R1*K2C)
+    out_ref,  # (1, M_pad, n_tiles*TILE)
+    frames_scr,  # (TILE, N_FFT) f32
+    *,
+    hop: int,
+    n_tiles: int,
+    precision: str,
+    do_pcen: bool,
+):
+    prec = _PRECISIONS[precision]
+    m_pad = out_ref.shape[1]
+    win = win_ref[:]
+
+    if do_pcen:
+        gain = jnp.minimum(params_ref[0], 1.0)
+        bias = params_ref[1]
+        one_over_root = 1.0 / jnp.maximum(params_ref[2], 1.0)
+        w = jnp.clip(params_ref[3], 0.0, 1.0)
+        eps = params_ref[4]
+        logd = jnp.log(jnp.maximum(1.0 - w, 1e-38))
+        jj = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        dt = (tt - jj).astype(jnp.float32)
+        ema_op = jnp.where(tt >= jj, jnp.exp(dt * logd), 0.0)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (m_pad, TILE), 1
+        ).astype(jnp.float32)
+        decay_pow = jnp.exp((lane + 1.0) * logd)  # d^(t+1)
+        onehot0 = jnp.where(lane == 0.0, 1.0, 0.0)
+        onehot_last = jnp.where(lane == float(TILE - 1), 1.0, 0.0)
+        log_bias_root = jnp.exp(one_over_root * jnp.log(bias))
+
+    carry = None
+    for g in range(n_tiles):
+        base = g * TILE * hop
+        # ---- framing + window: all offsets static ----------------------
+        for i in range(TILE):
+            frames_scr[i : i + 1, :] = (
+                raw_ref[0, :, base + hop * i : base + hop * i + N_FFT] * win
+            )
+
+        # ---- stage 1: contract n1; re/im stacked into M ----------------
+        x2 = frames_scr[:].reshape(TILE, R1, R2)  # (F, n1, n2)
+        a = jax.lax.dot_general(
+            d1ri_ref[:], x2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (2*R1, F, n2)
+
+        # ---- stage 2 (twiddle folded): batched over k1 ------------------
+        dn = (((2,), (2,)), ((0,), (0,)))
+        x_ri = jax.lax.dot_general(
+            e_re_ref[:], a[:R1], dimension_numbers=dn,
+            precision=prec, preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            e_im_ref[:], a[R1:], dimension_numbers=dn,
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (k1, 2*K2C, F)
+
+        # ---- power + mel -------------------------------------------------
+        power = (
+            x_ri[:, :K2C, :] * x_ri[:, :K2C, :]
+            + x_ri[:, K2C:, :] * x_ri[:, K2C:, :]
+        )  # (k1, k2, F)
+        mel = jax.lax.dot_general(
+            melw_ref[:], power.reshape(R1 * K2C, TILE),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (M_pad, F)
+
+        if not do_pcen:
+            out_ref[0, :, g * TILE : (g + 1) * TILE] = mel
+            continue
+
+        # ---- PCEN: EMA as one lower-triangular Toeplitz matmul ----------
+        m_scan = jax.lax.dot_general(
+            mel * w, ema_op,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (M_pad, F): sum_{j<=t} d^(t-j) * w * mel[:, j]
+
+        # carry: m_t += d^(t+1) * s_prev; at the clip start the reference
+        # seeds the EMA with frame 0 (tfpcen.py:33-39), so s_prev = mel[:,0].
+        if carry is None:
+            s_prev = jnp.sum(mel * onehot0, axis=1, keepdims=True)
+        else:
+            s_prev = carry
+        m_full = m_scan + decay_pow * s_prev
+        carry = jnp.sum(m_full * onehot_last, axis=1, keepdims=True)
+
+        # PCEN pointwise (tfpcen.py:89-99); global min-max runs outside.
+        smooth_pow = jnp.exp(gain * jnp.log(eps + m_full))
+        out_ref[0, :, g * TILE : (g + 1) * TILE] = (
+            jnp.exp(one_over_root * jnp.log(mel / smooth_pow + bias))
+            - log_bias_root
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "n_tiles", "precision", "do_pcen", "interpret"),
+)
+def _fused_call(
+    raw_padded: jax.Array,  # (B, L) f32, L covers the last tile's reads
+    params: jax.Array,  # (8,) f32
+    melw_pad: jax.Array,  # (M_pad, R1*K2C)
+    hop: int,
+    n_tiles: int,
+    precision: str,
+    do_pcen: bool,
+    interpret: bool,
+) -> jax.Array:
+    b, length = raw_padded.shape
+    raw_padded = raw_padded.reshape(b, 1, length)
+    m_pad = melw_pad.shape[0]
+    consts = _dft_constants(hop)
+    kernel = functools.partial(
+        _featurizer_kernel, hop=hop, n_tiles=n_tiles, precision=precision,
+        do_pcen=do_pcen,
+    )
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda bb: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    frames_total = n_tiles * TILE
+    mac = TILE * (2 * R1 * R1 * R2 + 2 * R1 * 2 * K2C * R2
+                  + R1 * K2C * m_pad + TILE * m_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, length), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec((2 * R1, R1)),
+            const_spec((R1, 2 * K2C, R2)),
+            const_spec((R1, 2 * K2C, R2)),
+            const_spec((1, N_FFT)),
+            const_spec((m_pad, R1 * K2C)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, frames_total), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE, N_FFT), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, frames_total), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * mac * b * n_tiles),
+            bytes_accessed=int(
+                b * length * 4 + b * m_pad * frames_total * 4
+            ),
+            transcendentals=int(b * n_tiles * m_pad * TILE * 4),
+        ),
+        interpret=interpret,
+    )(params, raw_padded, jnp.asarray(consts["d1ri"]),
+      jnp.asarray(consts["e_re"]), jnp.asarray(consts["e_im"]),
+      jnp.asarray(consts["win"]), melw_pad)
+
+
+class FusedFeaturizer:
+    """Waveform -> PCEN'd (or raw) mel, one kernel per batch.
+
+    Parity contracts: mel matches ``ops.fftmel.mel_power_matmul`` (tf-stft
+    framing, ``tfdataset.py:2008-2059``); PCEN matches ``ops.pcen.pcen``
+    (``tfpcen.py:33-110``) including the frame-0 EMA seed and the global
+    min-max normalization (applied outside the kernel on valid frames).
+    """
+
+    def __init__(
+        self,
+        mel_weights: np.ndarray,
+        n_fft: int = 4096,
+        hop: int = 281,
+        precision: str = "high",
+        gain: float = 0.98,
+        bias: float = 2.0,
+        root: float = 2.0,
+        smooth: float = 0.04,
+        eps: float = 1e-6,
+    ):
+        if n_fft != N_FFT:
+            raise ValueError("fused featurizer requires n_fft=4096")
+        if (hop * TILE) % 128 != 0:
+            raise ValueError(f"hop {hop}: hop*{TILE} must be lane-aligned")
+        support = np.flatnonzero(np.asarray(mel_weights).max(axis=0) > 0)
+        if support.size and support[-1] >= R1 * K2C:
+            raise ValueError("filterbank support exceeds bin 1023")
+        self.hop = hop
+        self.precision = precision
+        self.n_mels = mel_weights.shape[0]
+        self.m_pad = max(-(-self.n_mels // 8) * 8, 8)
+        melw = pack_mel_flat(mel_weights)
+        pad = np.zeros((self.m_pad, R1 * K2C), np.float32)
+        pad[: self.n_mels] = melw
+        self.melw_pad = jnp.asarray(pad)
+        self.params = jnp.asarray(
+            [gain, bias, root, smooth, eps, 0.0, 0.0, 0.0], jnp.float32
+        )
+
+    def _padded(self, raw: jax.Array, n_tiles: int) -> jax.Array:
+        need = ((n_tiles - 1) * TILE + TILE - 1) * self.hop + N_FFT
+        need = -(-need // 128) * 128
+        pad = need - raw.shape[-1]
+        if pad > 0:
+            raw = jnp.pad(raw, ((0, 0), (0, pad)))
+        return raw
+
+    def __call__(
+        self,
+        raw: jax.Array,
+        pcen: bool = True,
+        normalize: bool = True,
+        interpret: bool | None = None,
+    ) -> jax.Array:
+        """(B, samples) -> (B, n_mels, frames) mel power or PCEN image."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        frames = num_frames_tf(raw.shape[-1], self.hop)
+        n_tiles = -(-frames // TILE)
+        out = _fused_call(
+            self._padded(raw, n_tiles), self.params, self.melw_pad,
+            self.hop, n_tiles, self.precision, pcen, interpret,
+        )[:, : self.n_mels, :frames]
+        if pcen and normalize:
+            max_v = jnp.max(out)
+            min_v = jnp.min(out)
+            out = 2.0 * ((out - min_v) / (max_v - min_v)) - 1.0
+        return out

@@ -1,0 +1,99 @@
+"""Parity tests for the fused waveform->mel->PCEN Pallas kernel.
+
+Runs in interpreter mode on the CPU mesh (tests/conftest.py); compiled-mode
+parity on the real chip is asserted by the TPU bench/verify flow and
+documented in docs/PERFORMANCE.md.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from audio_training_tpu.config import FeaturizerConfig
+from audio_training_tpu.ops.features import build_mel_weights
+from audio_training_tpu.ops.fftmel import MatmulMelPlan
+from audio_training_tpu.ops.pcen import pcen as pcen_ref
+from audio_training_tpu.ops.pallas.fused_featurizer import (
+    FusedFeaturizer,
+    pack_mel_flat,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return FeaturizerConfig()
+
+
+@pytest.fixture(scope="module")
+def mel_w(cfg):
+    return build_mel_weights(cfg)
+
+
+@pytest.fixture(scope="module")
+def raw(cfg):
+    rng = np.random.default_rng(7)
+    return jnp.asarray(
+        rng.standard_normal((2, cfg.samples_per_clip)).astype(np.float32)
+    )
+
+
+def test_mel_matches_matmul_fft(cfg, mel_w, raw):
+    ref = np.asarray(
+        MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length, precision="highest")(
+            raw
+        )
+    )
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    out = np.asarray(fz(raw, pcen=False, interpret=True))
+    assert out.shape == (2, cfg.n_mels, cfg.mel_frames)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5
+
+
+def test_pcen_matches_scan_reference(cfg, mel_w, raw):
+    mel = MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length,
+                        precision="highest")(raw)
+    ref = np.asarray(pcen_ref(mel, time_axis=2))
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    out = np.asarray(fz(raw, pcen=True, interpret=True))
+    assert np.abs(out - ref).max() < 1e-4  # output range is [-1, 1]
+
+
+def test_pcen_custom_params(cfg, mel_w, raw):
+    kw = dict(gain=0.9, bias=1.5, root=3.0, smooth=0.1)
+    mel = MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length,
+                        precision="highest")(raw)
+    ref = np.asarray(pcen_ref(mel, time_axis=2, **kw))
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest", **kw)
+    out = np.asarray(fz(raw, pcen=True, interpret=True))
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_pack_mel_flat_layout(mel_w):
+    flat = pack_mel_flat(mel_w)
+    assert flat.shape == (mel_w.shape[0], 1024)
+    # bin k = k1 + 32*k2 lives at k1*32 + k2
+    for k in [0, 1, 33, 940]:
+        k1, k2 = k % 32, k // 32
+        np.testing.assert_array_equal(flat[:, k1 * 32 + k2], mel_w[:, k])
+
+
+def test_short_clip_single_tile(cfg, mel_w):
+    rng = np.random.default_rng(3)
+    short = jnp.asarray(
+        rng.standard_normal((1, 20000)).astype(np.float32)
+    )
+    ref = np.asarray(
+        MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length, precision="highest")(
+            short
+        )
+    )
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    out = np.asarray(fz(short, pcen=False, interpret=True))
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5
