@@ -36,6 +36,18 @@ def parse_args(argv=None):
                         help="Per-class thresholds JSON (label -> threshold),"
                              " e.g. from 'evaluate thresholds --out'"
                              " (preeval.py:143-221 + predict.py:503 parity)")
+    parser.add_argument("--embedding-model", default=None,
+                        help="Local saved-model path for the embedding "
+                             "extractor when the run is an 'embeddings' "
+                             "linear probe (predict.py:380-396 parity)")
+    parser.add_argument("--embedding-kind", default="perch",
+                        choices=["perch", "yamnet"],
+                        help="Embedding extractor family for "
+                             "--embedding-model (chirp=perch)")
+    parser.add_argument("--yamnet-model", default=None,
+                        help="Local YAMNet saved-model path: adds a speech "
+                             "score per file (predict.get_speech_score, "
+                             "predict.py:1051)")
     parser.add_argument("--folder-eval", default=None,
                         help="Score best_track-annotated recordings under "
                              "this dir (predict.predict_on_folder parity)")
@@ -51,11 +63,12 @@ def parse_args(argv=None):
 
 
 def load_predictor(model_dir: Path, weights: str, aggregation: str = "mean",
-                   threshold: float = 0.7):
+                   threshold: float = 0.7, embedding_model: str | None = None,
+                   embedding_kind: str = "perch"):
     """Reconstruct a Predictor from a run/deployment dir
-    (predict.py:743-816: model + metadata.txt)."""
-    import jax.numpy as jnp
-
+    (predict.py:743-816: model + metadata.txt).  An ``embeddings`` run
+    yields an :class:`EmbeddingPredictor` over the chirp/yamnet extractor
+    (predict.py:380-396)."""
     from audio_training_tpu.config import InferenceConfig
     from audio_training_tpu.infer.predictor import Predictor
     from audio_training_tpu.models import build_model
@@ -81,9 +94,29 @@ def load_predictor(model_dir: Path, weights: str, aggregation: str = "mean",
     payload = load_state_dict(ckpt)
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
+    infer_cfg = InferenceConfig(threshold=threshold, aggregation=aggregation)
+
+    if model_name == "embeddings":
+        from audio_training_tpu.infer.embeddings import (
+            EmbeddingPredictor,
+            PerchModel,
+            YamnetModel,
+        )
+
+        embedder = (PerchModel(embedding_model) if embedding_kind == "perch"
+                    else YamnetModel(embedding_model))
+        if not embedder.available:
+            raise RuntimeError(
+                "an 'embeddings' run needs --embedding-model pointing at a "
+                f"local {embedding_kind} saved model"
+            )
+        return EmbeddingPredictor(
+            embedder, spec.module, variables, labels, cfg, infer_cfg,
+            multi_label=multi_label,
+        ), meta
+
     return Predictor(
-        spec.module, variables, labels, cfg,
-        InferenceConfig(threshold=threshold, aggregation=aggregation),
+        spec.module, variables, labels, cfg, infer_cfg,
         model_name=model_name,
         channels=int(meta.get("channels", 1)),
         mean_sub=bool(meta.get("mean_sub", False)),
@@ -131,8 +164,19 @@ def main(argv=None) -> int:
     init_logging()
     args = parse_args(argv)
     model_dir = Path(args.model)
-    predictor, meta = load_predictor(model_dir, args.weights,
-                                     args.aggregation, args.threshold)
+    predictor, meta = load_predictor(
+        model_dir, args.weights, args.aggregation, args.threshold,
+        embedding_model=args.embedding_model,
+        embedding_kind=args.embedding_kind,
+    )
+    speech_scorer = None
+    if args.yamnet_model:
+        from audio_training_tpu.infer.embeddings import YamnetModel
+
+        speech_scorer = YamnetModel(args.yamnet_model)
+        if not speech_scorer.available:
+            logging.error("could not load YAMNet from %s", args.yamnet_model)
+            return 1
     grid_meta = None
     if args.grid:
         grid_meta = json.loads(Path(args.grid).read_text())
@@ -196,7 +240,6 @@ def main(argv=None) -> int:
             predictor, f, grid_meta, args.lat, args.lng, args.month,
             args.threshold, denoise=bool(args.denoise),
         )
-        all_results[str(f)] = track_meta
         for tm in track_meta:
             for p in tm["predictions"]:
                 logging.info(
@@ -205,6 +248,16 @@ def main(argv=None) -> int:
                     p["labels"] or p.get("raw_tag"),
                     p["confidences"] or p.get("raw_confidence"),
                 )
+        if speech_scorer is not None:
+            from audio_training_tpu.corpus.audioio import load_recording
+
+            frames_16k, _ = load_recording(
+                f, target_sr=speech_scorer.sample_rate
+            )
+            score = speech_scorer.speech_score(frames_16k)
+            logging.info("%s speech score %.3f", f.name, score)
+            track_meta = {"speech_score": score, "tracks": track_meta}
+        all_results[str(f)] = track_meta
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(all_results, indent=2))
     return 0

@@ -73,6 +73,15 @@ class PerchModel(EmbeddingModel):
         out = self._model.infer_tf(chunks.astype(np.float32))
         return np.asarray(out["embedding"]), np.asarray(out["label"])
 
+    def embed_window(self, window: np.ndarray) -> np.ndarray:
+        """One window (any length, model rate) -> one embedding vector;
+        short windows are zero-padded to the 5 s model window."""
+        need = int(self.WINDOW_S * self.sample_rate)
+        if len(window) < need:
+            window = np.pad(window, (0, need - len(window)))
+        emb, _ = self.embed(window[:need])
+        return emb[0]
+
 
 class YamnetModel(EmbeddingModel):
     """YAMNet: 16 kHz waveform -> (frames, 1024) embeddings + 521 scores
@@ -92,3 +101,87 @@ class YamnetModel(EmbeddingModel):
         predict.py:1051)."""
         _, scores = self.embed(frames)
         return float(np.max(scores[:, speech_index]))
+
+    def embed_window(self, window: np.ndarray) -> np.ndarray:
+        """One window -> mean YAMNet embedding over its internal frames."""
+        emb, _ = self.embed(window)
+        return emb.mean(axis=0)
+
+
+class EmbeddingPredictor:
+    """Embedding-path inference (predict.yamn_embeddings /
+    chirp_embeddings, predict.py:380-396): detect tracks -> per-track
+    windows resampled to the embedding model's rate -> one embedding per
+    window -> linear-probe classifier -> per-track aggregation, mirroring
+    :class:`audio_training_tpu.infer.predictor.Predictor`."""
+
+    def __init__(
+        self,
+        embedder: EmbeddingModel,
+        module,
+        variables,
+        labels: list[str],
+        cfg,
+        infer_cfg=None,
+        multi_label: bool = True,
+    ):
+        from audio_training_tpu.config import InferenceConfig
+
+        self.embedder = embedder
+        self.module = module
+        self.variables = variables
+        self.labels = list(labels)
+        self.cfg = cfg
+        self.infer_cfg = infer_cfg or InferenceConfig()
+        self.multi_label = multi_label
+        self.model_name = f"embeddings-{embedder.name}"
+
+    def predict_recording(self, frames: np.ndarray, sr: int,
+                          tracks: list | None = None,
+                          threshold: float | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        from audio_training_tpu.corpus.audioio import resample
+        from audio_training_tpu.detect.signals import (
+            get_end,
+            get_tracks_from_signals,
+            signal_noise,
+        )
+        from audio_training_tpu.infer.predictor import aggregate_tracks
+        from audio_training_tpu.infer.windows import extract_track_windows
+
+        threshold = (threshold if threshold is not None
+                     else self.infer_cfg.threshold)
+        if tracks is None:
+            end = get_end(frames, sr)
+            signals, _ = signal_noise(frames, sr)
+            tracks = get_tracks_from_signals(signals, end)
+        model_sr = self.embedder.sample_rate
+        frames_rs = resample(frames, sr, model_sr) if sr != model_sr else frames
+        batch = extract_track_windows(
+            frames_rs, model_sr, tracks,
+            segment_length=self.cfg.segment_length,
+            stride=self.cfg.segment_stride,
+            fmin=self.cfg.fmin, fmax=self.cfg.fmax,
+        )
+        if batch.windows.shape[0] == 0:
+            return tracks, [None] * len(tracks)
+        embs = np.stack([
+            self.embedder.embed_window(w) for w in batch.windows
+        ]).astype(np.float32)
+        logits = self.module.apply(self.variables, jnp.asarray(embs),
+                                   train=False)
+        probs = np.asarray(
+            jax.nn.sigmoid(logits) if self.multi_label
+            else jax.nn.softmax(logits)
+        )
+        results = aggregate_tracks(
+            probs, batch.track_index, len(tracks), self.labels,
+            threshold=threshold, model_name=self.model_name,
+            mode=self.infer_cfg.aggregation,
+        )
+        for t, r in zip(tracks, results):
+            if r is not None:
+                t.predictions.append(r)
+        return tracks, results

@@ -85,21 +85,37 @@ class Predictor:
             variables = self.variables
         mel_w = build_mel_weights(cfg)
         self._mel_w_t = jnp.asarray(mel_w).T
-        # centered (librosa) convention via the matmul-FFT plan when the
-        # geometry allows it; otherwise the rfft path
+        # centered (librosa) convention, fastest valid implementation: the
+        # fully-fused Pallas kernel on TPU (exact parity, ~2x the XLA
+        # matmul-FFT), the matmul-FFT plan elsewhere when the geometry
+        # allows it, otherwise the rfft path
         self._mel_plan = None
+        self._fused = None
         if cfg.n_fft == 4096:
-            from audio_training_tpu.ops.fftmel import MatmulMelPlan
+            if jax.default_backend() == "tpu":
+                from audio_training_tpu.ops.pallas.fused_featurizer import (
+                    FusedFeaturizer,
+                )
 
-            self._mel_plan = MatmulMelPlan(
-                mel_w, cfg.n_fft, cfg.hop_length, center=True
-            )
+                try:
+                    self._fused = FusedFeaturizer(
+                        mel_w, cfg.n_fft, cfg.hop_length, center=True
+                    )
+                except ValueError:
+                    pass
+            if self._fused is None:
+                from audio_training_tpu.ops.fftmel import MatmulMelPlan
+
+                self._mel_plan = MatmulMelPlan(
+                    mel_w, cfg.n_fft, cfg.hop_length, center=True
+                )
         self._infer = self._build_infer()
 
     def _build_infer(self):
         cfg = self.cfg
         mel_w_t = self._mel_w_t
         mel_plan = self._mel_plan
+        fused = self._fused
         channels = self.channels
         mean_sub = self.mean_sub
         db_scale = self.db_scale
@@ -110,7 +126,9 @@ class Predictor:
             # inference featurizer convention (predict_utils.get_spect):
             # per-window min-max normalize, centered stft, power-2 mel
             raw = normalize_rows(raw)
-            if mel_plan is not None:
+            if fused is not None:
+                mel = fused(raw, pcen=False)  # (B, M, T), fused Pallas
+            elif mel_plan is not None:
                 mel = mel_plan(raw)  # (B, M, T), matmul-FFT
             else:
                 spec = stft_centered(raw, cfg.n_fft, cfg.hop_length)

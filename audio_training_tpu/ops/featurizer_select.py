@@ -1,15 +1,21 @@
 """Featurizer backend selection.
 
-Three implementations of waveform -> (B, M, T) mel power (tf-stft
-convention), fastest first:
+Implementations of waveform -> (B, M, T) mel power (tf-stft convention),
+fastest first:
 
-* ``fused_pallas`` — single Pallas kernel (framing+FFT+mel in VMEM); needs
-  n_fft=4096 and filterbank support within the first 1024 bins.
+* ``fused`` — the fully-fused Pallas kernel (framing + two-stage matmul-DFT
+  + mel in VMEM, ops/pallas/fused_featurizer.py); needs n_fft=4096,
+  hop*128 lane-aligned, and filterbank support within the first 1024 bins.
+  ~2x the matmul-FFT at exact parity, ~4x at bf16 (measured on-chip, see
+  docs/PERFORMANCE.md).
 * ``matmul`` — radix-64 matmul-FFT in XLA; needs n_fft=4096.
 * ``rfft`` — gather-free framing + jnp.fft.rfft + fused power/mel; works for
   any geometry (and on CPU without interpret overhead).
+* ``fused_pallas`` — earlier two-kernel Pallas FFT+mel attempt, kept for
+  newer toolchains (current Mosaic rejects its lane reshape).
 
-``auto`` picks the fastest valid one for the current backend.
+``auto`` picks the fastest valid one for the current backend: ``fused`` on
+TPU when the geometry allows, else ``matmul``/``rfft``.
 """
 
 from __future__ import annotations
@@ -35,10 +41,15 @@ def make_mel_fn(
     radix_ok = cfg.n_fft == 4096
 
     if backend == "auto":
-        # NOTE: "fused_pallas" stays opt-in — the current Mosaic release
-        # cannot lower the kernel's lane-dimension reshape ("unsupported
-        # shape cast"); the XLA matmul-FFT is the fastest compiling path.
+        if radix_ok and jax.default_backend() == "tpu":
+            try:
+                return make_fused_featurizer(cfg, w, precision)
+            except ValueError:
+                pass  # geometry outside the fused kernel's constraints
         backend = "matmul" if radix_ok else "rfft"
+
+    if backend == "fused":
+        return make_fused_featurizer(cfg, w, precision)
 
     if backend == "fused_pallas":
         from audio_training_tpu.ops.pallas.fftmel_kernel import FusedFFTMelPlan
@@ -67,3 +78,17 @@ def make_mel_fn(
 
         return rfft_mel
     raise ValueError(f"unknown featurizer backend {backend}")
+
+
+def make_fused_featurizer(
+    cfg: FeaturizerConfig,
+    mel_weights: np.ndarray,
+    precision: str = "highest",
+) -> Callable[[jax.Array], jax.Array]:
+    """Mel-power fn backed by the fully-fused Pallas kernel (raises
+    ValueError when the geometry falls outside its constraints)."""
+    from audio_training_tpu.ops.pallas.fused_featurizer import FusedFeaturizer
+
+    fz = FusedFeaturizer(mel_weights, cfg.n_fft, cfg.hop_length,
+                         precision=precision)
+    return lambda raw: fz(raw, pcen=False)

@@ -49,7 +49,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from audio_training_tpu.ops.stft import hann_window, num_frames_tf
+from audio_training_tpu.ops.stft import (
+    hann_window,
+    num_frames_centered,
+    num_frames_tf,
+)
 
 R1 = 32  # stage-1 DFT size (k1 bins)
 R2 = 128  # stage-2 DFT size (n2 / lane dimension)
@@ -59,9 +63,26 @@ N_FFT = R1 * R2
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+
+# NOTE: no "high" tier.  Mosaic rejects ``Precision.HIGH`` on TPU dots, and
+# a manual bf16 error decomposition (x = hi + lo, one doubled
+# ``[lh;ll] @ [rh|rl]`` dot summing the hi*hi + hi*lo + lo*hi blocks,
+# ~1e-5 relative) measured SLOWER than plain "highest" on this backend:
+# 44.3 ms vs 30.7 ms per 256-clip batch — the runtime hi/lo splits and
+# concats of the frame data cost more than the extra f32 passes save.  The
+# menu is therefore exact-parity "highest" (30.7 ms) or bf16 "default"
+# (15.8 ms, ~2e-3 mel error), measured scan-chained on the real chip.
+
+
+def _dot(lhs, rhs, dn, precision):
+    return jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=dn,
+        precision=_PRECISIONS[precision],
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _dft_constants(hop: int) -> dict[str, np.ndarray]:
@@ -119,7 +140,6 @@ def _featurizer_kernel(
     precision: str,
     do_pcen: bool,
 ):
-    prec = _PRECISIONS[precision]
     m_pad = out_ref.shape[1]
     win = win_ref[:]
 
@@ -142,6 +162,9 @@ def _featurizer_kernel(
         onehot_last = jnp.where(lane == float(TILE - 1), 1.0, 0.0)
         log_bias_root = jnp.exp(one_over_root * jnp.log(bias))
 
+    d1ri_op, e_re_op = d1ri_ref[:], e_re_ref[:]
+    e_im_op, melw_op = e_im_ref[:], melw_ref[:]
+
     carry = None
     for g in range(n_tiles):
         base = g * TILE * hop
@@ -153,20 +176,16 @@ def _featurizer_kernel(
 
         # ---- stage 1: contract n1; re/im stacked into M ----------------
         x2 = frames_scr[:].reshape(TILE, R1, R2)  # (F, n1, n2)
-        a = jax.lax.dot_general(
-            d1ri_ref[:], x2,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32,
+        a = _dot(
+            d1ri_op, x2, (((1,), (1,)), ((), ())), precision
         )  # (2*R1, F, n2)
 
         # ---- stage 2 (twiddle folded): batched over k1 ------------------
         dn = (((2,), (2,)), ((0,), (0,)))
-        x_ri = jax.lax.dot_general(
-            e_re_ref[:], a[:R1], dimension_numbers=dn,
-            precision=prec, preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            e_im_ref[:], a[R1:], dimension_numbers=dn,
-            precision=prec, preferred_element_type=jnp.float32,
+        x_ri = _dot(
+            e_re_op, a[:R1], dn, precision
+        ) + _dot(
+            e_im_op, a[R1:], dn, precision
         )  # (k1, 2*K2C, F)
 
         # ---- power + mel -------------------------------------------------
@@ -174,10 +193,9 @@ def _featurizer_kernel(
             x_ri[:, :K2C, :] * x_ri[:, :K2C, :]
             + x_ri[:, K2C:, :] * x_ri[:, K2C:, :]
         )  # (k1, k2, F)
-        mel = jax.lax.dot_general(
-            melw_ref[:], power.reshape(R1 * K2C, TILE),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=jnp.float32,
+        mel = _dot(
+            melw_op, power.reshape(R1 * K2C, TILE),
+            (((1,), (0,)), ((), ())), precision,
         )  # (M_pad, F)
 
         if not do_pcen:
@@ -256,6 +274,12 @@ def _fused_call(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TILE, N_FFT), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((b, m_pad, frames_total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # Clips are independent; the default 16 MB scoped-vmem budget is
+            # too small for the unrolled 5-tile body (25.8 MB measured).
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int(2 * mac * b * n_tiles),
             bytes_accessed=int(
@@ -283,12 +307,13 @@ class FusedFeaturizer:
         mel_weights: np.ndarray,
         n_fft: int = 4096,
         hop: int = 281,
-        precision: str = "high",
+        precision: str = "highest",
         gain: float = 0.98,
         bias: float = 2.0,
         root: float = 2.0,
         smooth: float = 0.04,
         eps: float = 1e-6,
+        center: bool = False,
     ):
         if n_fft != N_FFT:
             raise ValueError("fused featurizer requires n_fft=4096")
@@ -299,6 +324,10 @@ class FusedFeaturizer:
             raise ValueError("filterbank support exceeds bin 1023")
         self.hop = hop
         self.precision = precision
+        # centered (librosa inference) convention: constant pad by
+        # n_fft//2 both sides, frames = 1 + n//hop — matches
+        # ops.fftmel.MatmulMelPlan(center=True) / ops.stft.stft_centered
+        self.center = center
         self.n_mels = mel_weights.shape[0]
         self.m_pad = max(-(-self.n_mels // 8) * 8, 8)
         melw = pack_mel_flat(mel_weights)
@@ -327,7 +356,12 @@ class FusedFeaturizer:
         """(B, samples) -> (B, n_mels, frames) mel power or PCEN image."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        frames = num_frames_tf(raw.shape[-1], self.hop)
+        if self.center:
+            frames = num_frames_centered(raw.shape[-1], self.hop)
+            half = N_FFT // 2
+            raw = jnp.pad(raw, ((0, 0), (half, half)))
+        else:
+            frames = num_frames_tf(raw.shape[-1], self.hop)
         n_tiles = -(-frames // TILE)
         out = _fused_call(
             self._padded(raw, n_tiles), self.params, self.melw_pad,

@@ -97,3 +97,17 @@ def test_short_clip_single_tile(cfg, mel_w):
     assert out.shape == ref.shape
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 1e-5
+
+
+def test_centered_matches_matmul_fft(cfg, mel_w, raw):
+    """librosa-convention centered framing (Predictor inference path)."""
+    ref = np.asarray(
+        MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length, center=True,
+                      precision="highest")(raw)
+    )
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest", center=True)
+    out = np.asarray(fz(raw, pcen=False, interpret=True))
+    assert out.shape == ref.shape
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5
