@@ -40,6 +40,11 @@ ITERS = 8
 
 def main() -> None:
     import jax
+
+    # Remote compiles through the tunnel are 30s-15min with high variance;
+    # the persistent cache makes bench reruns deterministic-fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from audio_training_tpu.config import FeaturizerConfig
