@@ -179,3 +179,24 @@ def test_unknown_model_name():
     with pytest.raises(ValueError):
         build_model("not-a-model", num_labels=2)
     assert "badwinner2" in MODEL_NAMES and "efficientnetv2bm" in MODEL_NAMES
+
+
+def test_handrolled_resnet50_headless():
+    """Faithful hand-rolled ResNet50 (resnet/resnet.py:5-78): VALID 7x7/2
+    stem after ZeroPad(3), stride on the first 1x1, 2x2 AvgPool + Flatten
+    head — 64x64x3 -> (B, 2048) like the Keras original."""
+    import jax
+    import numpy as np
+
+    from audio_training_tpu.models.resnet import ResNet50
+
+    m = ResNet50()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (2, 2048)
+    assert bool(jnp.isfinite(out).all())
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(
+        variables["params"]))
+    assert 23_000_000 < n_params < 24_000_000  # classic ResNet50 trunk
