@@ -208,7 +208,7 @@ def generate_tracks(metadata_file: str | Path, target_sr: int = 48000,
 
 
 def _enrich_one(args) -> int:
-    f, rms, signal, gen_tracks = args
+    f, rms, signal, gen_tracks, best_track = args
     n = 0
     if gen_tracks and generate_tracks(f):
         n += 1
@@ -216,14 +216,19 @@ def _enrich_one(args) -> int:
         n += 1
     if signal and add_signal_meta(f):
         n += 1
+    if best_track and generate_best_track(f):
+        n += 1
     return n
 
 
 def enrich_folder(folder: str | Path, rms: bool = True, signal: bool = True,
-                  gen_tracks: bool = False, workers: int = 1) -> int:
+                  gen_tracks: bool = False, best_track: bool = False,
+                  workers: int = 1) -> int:
     """Run enrichment over every sidecar in a tree (the reference drives
-    this with an 8-proc pool, otherdata.py:1073-1074)."""
-    jobs = [(f, rms, signal, gen_tracks)
+    this with an 8-proc pool, otherdata.py:1073-1074).  ``best_track``
+    adds the weak-label best-3s annotation (needs ``signal`` spans, which
+    run first in the same pass)."""
+    jobs = [(f, rms, signal, gen_tracks, best_track)
             for f in sorted(Path(folder).glob("**/*.txt"))]
     if workers <= 1:
         return sum(_enrich_one(j) for j in jobs)
@@ -231,3 +236,108 @@ def enrich_folder(folder: str | Path, rms: bool = True, signal: bool = True,
 
     with Pool(workers) as pool:
         return sum(pool.map(_enrich_one, jobs))
+
+
+def signal_length_for_segment(tracks, s_start: float, s_end: float) -> float:
+    """Total in-segment signal time (otherdata.signal_length_for_segment,
+    otherdata.py:1548-1557 — exact port incl. the reference's skip
+    condition comparing ``s.end`` against the segment END, and the early
+    break relying on start-sorted tracks)."""
+    signal_length = 0.0
+    for s in tracks:
+        if s.start < s_start and s.end < s_end:
+            continue
+        if s.start > s_end:
+            break
+        signal_length += min(s.end, s_end) - max(s_start, s.start)
+    return signal_length
+
+
+def best_segment_from_tracks(tracks, end: float, segment_length: float = 3.0,
+                             step: float = 0.5):
+    """Best ``segment_length``-second window by smoothed signal coverage
+    (otherdata.generate_tracks scoring loop, otherdata.py:1488-1517):
+    score(t) = len(t-1) + len(t) for the second window and
+    len(t-1) + (len(t) + len(t-2))/2 after, recorded at start t-1 — the
+    reference's one-window-lagged smoothing, ported as-is.
+
+    Returns (start, signal_length, score)."""
+    length_per_segment: list[float] = []
+    best_segment = (0.0, 0.0, 0.0)
+    n_starts = max(int(end) - int(segment_length) + 1, 1)
+    for start in np.arange(n_starts, step=step):
+        sl = signal_length_for_segment(tracks, start, start + segment_length)
+        if length_per_segment:
+            score = length_per_segment[-1]
+            if len(length_per_segment) == 1:
+                score += sl
+            else:
+                score += (sl + length_per_segment[-2]) / 2
+            if best_segment[2] < score:
+                best_segment = (float(start - step), sl, score)
+        else:
+            best_segment = (float(start), sl, sl)
+        length_per_segment.append(sl)
+    return best_segment
+
+
+def generate_best_track(metadata_file: str | Path, label: str | None = None,
+                        segment_length: float = 3.0) -> bool:
+    """Write the ``best_track`` sidecar entry that strong-label folder
+    evaluation consumes (otherdata.generate_tracks, otherdata.py:1442-1545;
+    consumed by audiomodel.evaluate_dir / predict.predict_on_folder —
+    here infer/folder.py).
+
+    Requires stored ``signal`` spans (run :func:`add_signal_meta` first,
+    as the reference's pipeline does).  Signal spans narrower than
+    ``min_width`` in TIME or FREQUENCY are dropped — the reference defines
+    a separate ``min_height`` but filters both axes with ``min_width``
+    (otherdata.py:1451-1452, :1477), preserved as-is.
+    """
+    from audio_training_tpu.detect.signals import (
+        Signal,
+        get_tracks_from_signals,
+    )
+
+    min_width = 0.15981875
+    metadata_file = Path(metadata_file).with_suffix(".txt")
+    try:
+        if not metadata_file.exists():
+            return False
+        meta = json.loads(metadata_file.read_text())
+        if "signal" not in meta:
+            log.error("No signal metadata for %s (run add_signal_meta)",
+                      metadata_file)
+            return False
+        end = meta.get("rec_end")
+        signals = []
+        sig_end = None
+        for s in meta["signal"]:
+            if (s[1] - s[0]) < min_width or (s[3] - s[2]) < min_width:
+                continue
+            signals.append(Signal(s[0], s[1], s[2], s[3], 0))
+            if end is None and (sig_end is None or s[1] > sig_end):
+                sig_end = s[1]
+        if end is None:
+            if sig_end is None:
+                return False
+            end = sig_end + segment_length
+        tracks = get_tracks_from_signals(signals, end, filter_short=False)
+        start, sig_len, score = best_segment_from_tracks(
+            tracks, end, segment_length
+        )
+        if label is None:
+            label = meta.get("label") or metadata_file.parent.name
+        meta["best_track"] = {
+            "score": score,
+            "signal_length": sig_len,
+            "start": start,
+            "end": start + segment_length,
+            "tags": [{"automatic": False, "what": label}],
+        }
+        metadata_file.write_text(json.dumps(meta, indent=4))
+        return True
+    except Exception:
+        log.error("Error generating best track for %s", metadata_file,
+                  exc_info=True)
+        return False

@@ -386,11 +386,17 @@ def merge_signals(signals: list[Signal]) -> tuple[list[Signal], bool]:
     return signals, something_merged
 
 
-def get_tracks_from_signals(signals: list[Signal], end: float) -> list[Signal]:
+def get_tracks_from_signals(signals: list[Signal], end: float,
+                            filter_short: bool = True) -> list[Signal]:
     """Signals -> tracks (identifytracks.get_tracks_from_signals,
     identifytracks.py:236-301): merge to fixed point, drop <0.35 s, enlarge
     1.4x (min 0.7 s), re-merge heavy overlaps, drop <50 mel range, split
-    tracks longer than 6 s."""
+    tracks longer than 6 s.
+
+    ``filter_short=False`` keeps sub-0.35 s signals — the weak-label
+    best-track scorer wants them (otherdata.py:1486 calls with
+    ``filter_short=False``; the reference's live identifytracks signature
+    lost the parameter and would TypeError, restored here)."""
     max_length = 6
     min_mel_range = 50
     merged = True
@@ -404,7 +410,7 @@ def get_tracks_from_signals(signals: list[Signal], end: float) -> list[Signal]:
     for s in signals:
         if s in to_delete:
             continue
-        if s.length < min_length_base:
+        if filter_short and s.length < min_length_base:
             to_delete.append(s)
             continue
         s.enlarge(1.4, min_track_length=min_track_length)
@@ -437,3 +443,47 @@ def get_tracks_from_signals(signals: list[Signal], end: float) -> list[Signal]:
         else:
             final.append(s)
     return final
+
+
+def merge_again(tracks: list[Signal]) -> list[Signal]:
+    """Second-pass greedy track merge used by the weak-label corpus track
+    generator (otherdata.merge_again, otherdata.py:193-229).
+
+    Order-sensitive behavioral port, including the reference's quirks: when
+    the current track is mostly (>50%) covered by the newcomer it is
+    REPLACED in the output; a >50% time overlap (of the newcomer) or any
+    time overlap with >50% mel-frequency overlap extends the current track
+    end only in the frequency-overlap case.
+
+    One documented fix: the reference's trailing ``if overlap <= 0`` block
+    re-appends a newcomer its ``else`` branch already appended (overlap<=0
+    implies both percent tests were false), so every gap-separated track
+    appears TWICE in its output — here the re-append is guarded.
+    """
+    post_filter: list[Signal] = []
+    current = None
+    for t in sorted(tracks, key=lambda track: track.start):
+        if current is None:
+            current = t
+            post_filter.append(current)
+            continue
+        overlap = current.time_overlap(t)
+        pct = overlap / t.length if t.length else 0.0
+        pct2 = overlap / current.length if current.length else 0.0
+        f_overlap = current.mel_freq_overlap(t)
+        f_pct = f_overlap / t.mel_freq_range if t.mel_freq_range else 0.0
+
+        if pct2 > 0.5:
+            post_filter = post_filter[:-1]
+            post_filter.append(t)
+            current = t
+        elif pct > 0.5 or (pct > 0 and f_pct > 0.5):
+            if f_pct > 0.5:
+                current.end = max(current.end, t.end)
+        else:
+            current = t
+            post_filter.append(current)
+        if overlap <= 0 and post_filter[-1] is not t:
+            current = t
+            post_filter.append(current)
+    return post_filter

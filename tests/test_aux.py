@@ -327,3 +327,70 @@ def test_check_pipeline():
     assert res.nan_count == 1
     assert not res.ok
     assert res.label_counts.get("a") == 2  # one per batch
+
+
+def test_merge_again_rules():
+    from audio_training_tpu.detect.signals import Signal, merge_again
+
+    # newcomer covers >50% of current -> replaces it (otherdata.py:209-212)
+    a = Signal(0.0, 1.0, 1000, 2000, 1)
+    b = Signal(0.2, 3.0, 1000, 2000, 1)
+    out = merge_again([a, b])
+    assert out == [b]
+
+    # >50% freq overlap with some time overlap -> extends current end
+    c = Signal(0.0, 2.0, 1000, 2000, 1)
+    d = Signal(1.8, 2.5, 1100, 1900, 1)
+    out = merge_again([c, d])
+    assert out == [c] and c.end == 2.5
+
+    # gap-separated tracks each appear ONCE (reference double-append fixed)
+    e = Signal(0.0, 1.0, 1000, 2000, 1)
+    f = Signal(5.0, 6.0, 1000, 2000, 1)
+    out = merge_again([e, f])
+    assert out == [e, f]
+
+
+def test_signal_length_for_segment():
+    from audio_training_tpu.corpus.enrich import signal_length_for_segment
+    from audio_training_tpu.detect.signals import Signal
+
+    tracks = [Signal(1.0, 2.0, 0, 100, 1), Signal(2.5, 4.0, 0, 100, 1)]
+    # window [1.5, 4.5): the reference SKIPS tracks that start before the
+    # window unless they also outlast it (otherdata.py:1551-1552), so only
+    # track 2 counts -> 1.5 s
+    assert signal_length_for_segment(tracks, 1.5, 4.5) == pytest.approx(1.5)
+    # a track straddling the window end does count
+    assert signal_length_for_segment(
+        [Signal(1.0, 5.0, 0, 100, 1)], 1.5, 4.5
+    ) == pytest.approx(3.0)
+    # window past all tracks
+    assert signal_length_for_segment(tracks, 5.0, 8.0) == 0.0
+
+
+def test_generate_best_track(tmp_path):
+    from audio_training_tpu.corpus.enrich import (
+        add_signal_meta,
+        generate_best_track,
+    )
+
+    # two chirp bursts; the denser region should win the best-3s window
+    x = np.zeros(int(10 * SR), np.float32)
+    t = np.arange(int(1.2 * SR)) / SR
+    for start in (4.0, 5.5):
+        i = int(start * SR)
+        x[i : i + len(t)] += np.sin(2 * np.pi * 1500 * t).astype(np.float32)
+    x += 0.005 * np.random.default_rng(1).standard_normal(len(x)).astype(
+        np.float32
+    )
+    save_wav(tmp_path / "b.wav", x, SR)
+    (tmp_path / "b.txt").write_text(json.dumps({"id": "b", "label": "weka"}))
+    assert add_signal_meta(tmp_path / "b.txt", target_sr=SR)
+    assert generate_best_track(tmp_path / "b.txt")
+    meta = json.loads((tmp_path / "b.txt").read_text())
+    bt = meta["best_track"]
+    assert bt["tags"][0]["what"] == "weka"
+    assert bt["end"] == bt["start"] + 3
+    # the chosen window overlaps the signal region
+    assert bt["start"] < 7.0 and bt["end"] > 4.0
+    assert bt["signal_length"] > 0
