@@ -16,9 +16,13 @@ notably, a *dynamic* lane-slice base combined with a non-128-aligned static
 offset crashes the backend compiler, so the kernel grids over clips only and
 unrolls the frame tiles in Python, making every slice offset fully static):
 
-* frame tiles are 128 frames: ``hop * 128 = 281 * 128 = 35968`` is a lane
-  multiple, so each tile's static base keeps all 128 in-tile slice offsets
-  within one aligned window;
+* the whole clip runs as ONE frame tile when the frame scratch fits VMEM
+  (<= 768 frames; the production 513-frame clip pads to 640 either way),
+  so each DFT stage is a single big MXU dot per clip — measurably faster
+  than 128-frame tiles, whose 4*n_tiles small dots pay dispatch overhead
+  per dot.  Longer inputs fall back to 128-frame tiles, where
+  ``hop * 128 = 281 * 128 = 35968`` being a lane multiple keeps every
+  tile's static base aligned;
 * no lane-dimension merges: the only reshapes are the minor-dim split
   ``(F, 4096) -> (F, 32, 128)`` and the sublane merge ``(32, 32, 128) ->
   (1024, 128)``, both layout-preserving;
@@ -132,10 +136,11 @@ def _featurizer_kernel(
     e_im_ref,  # (R1, 2*K2C, R2)
     win_ref,  # (1, N_FFT)
     melw_ref,  # (M_pad, R1*K2C)
-    out_ref,  # (1, M_pad, n_tiles*TILE)
-    frames_scr,  # (TILE, N_FFT) f32
+    out_ref,  # (1, M_pad, n_tiles*tile)
+    frames_scr,  # (tile, N_FFT) f32
     *,
     hop: int,
+    tile: int,
     n_tiles: int,
     precision: str,
     do_pcen: bool,
@@ -150,16 +155,16 @@ def _featurizer_kernel(
         w = jnp.clip(params_ref[3], 0.0, 1.0)
         eps = params_ref[4]
         logd = jnp.log(jnp.maximum(1.0 - w, 1e-38))
-        jj = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
         dt = (tt - jj).astype(jnp.float32)
         ema_op = jnp.where(tt >= jj, jnp.exp(dt * logd), 0.0)
         lane = jax.lax.broadcasted_iota(
-            jnp.int32, (m_pad, TILE), 1
+            jnp.int32, (m_pad, tile), 1
         ).astype(jnp.float32)
         decay_pow = jnp.exp((lane + 1.0) * logd)  # d^(t+1)
         onehot0 = jnp.where(lane == 0.0, 1.0, 0.0)
-        onehot_last = jnp.where(lane == float(TILE - 1), 1.0, 0.0)
+        onehot_last = jnp.where(lane == float(tile - 1), 1.0, 0.0)
         log_bias_root = jnp.exp(one_over_root * jnp.log(bias))
 
     d1ri_op, e_re_op = d1ri_ref[:], e_re_ref[:]
@@ -167,15 +172,15 @@ def _featurizer_kernel(
 
     carry = None
     for g in range(n_tiles):
-        base = g * TILE * hop
+        base = g * tile * hop
         # ---- framing + window: all offsets static ----------------------
-        for i in range(TILE):
+        for i in range(tile):
             frames_scr[i : i + 1, :] = (
                 raw_ref[0, :, base + hop * i : base + hop * i + N_FFT] * win
             )
 
         # ---- stage 1: contract n1; re/im stacked into M ----------------
-        x2 = frames_scr[:].reshape(TILE, R1, R2)  # (F, n1, n2)
+        x2 = frames_scr[:].reshape(tile, R1, R2)  # (F, n1, n2)
         a = _dot(
             d1ri_op, x2, (((1,), (1,)), ((), ())), precision
         )  # (2*R1, F, n2)
@@ -194,12 +199,12 @@ def _featurizer_kernel(
             + x_ri[:, K2C:, :] * x_ri[:, K2C:, :]
         )  # (k1, k2, F)
         mel = _dot(
-            melw_op, power.reshape(R1 * K2C, TILE),
+            melw_op, power.reshape(R1 * K2C, tile),
             (((1,), (0,)), ((), ())), precision,
         )  # (M_pad, F)
 
         if not do_pcen:
-            out_ref[0, :, g * TILE : (g + 1) * TILE] = mel
+            out_ref[0, :, g * tile : (g + 1) * tile] = mel
             continue
 
         # ---- PCEN: EMA as one lower-triangular Toeplitz matmul ----------
@@ -221,7 +226,7 @@ def _featurizer_kernel(
 
         # PCEN pointwise (tfpcen.py:89-99); global min-max runs outside.
         smooth_pow = jnp.exp(gain * jnp.log(eps + m_full))
-        out_ref[0, :, g * TILE : (g + 1) * TILE] = (
+        out_ref[0, :, g * tile : (g + 1) * tile] = (
             jnp.exp(one_over_root * jnp.log(mel / smooth_pow + bias))
             - log_bias_root
         )
@@ -229,13 +234,15 @@ def _featurizer_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hop", "n_tiles", "precision", "do_pcen", "interpret"),
+    static_argnames=("hop", "tile", "n_tiles", "precision", "do_pcen",
+                     "interpret"),
 )
 def _fused_call(
     raw_padded: jax.Array,  # (B, L) f32, L covers the last tile's reads
     params: jax.Array,  # (8,) f32
     melw_pad: jax.Array,  # (M_pad, R1*K2C)
     hop: int,
+    tile: int,
     n_tiles: int,
     precision: str,
     do_pcen: bool,
@@ -246,17 +253,17 @@ def _fused_call(
     m_pad = melw_pad.shape[0]
     consts = _dft_constants(hop)
     kernel = functools.partial(
-        _featurizer_kernel, hop=hop, n_tiles=n_tiles, precision=precision,
-        do_pcen=do_pcen,
+        _featurizer_kernel, hop=hop, tile=tile, n_tiles=n_tiles,
+        precision=precision, do_pcen=do_pcen,
     )
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda bb: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    frames_total = n_tiles * TILE
-    mac = TILE * (2 * R1 * R1 * R2 + 2 * R1 * 2 * K2C * R2
-                  + R1 * K2C * m_pad + TILE * m_pad)
+    frames_total = n_tiles * tile
+    mac = tile * (2 * R1 * R1 * R2 + 2 * R1 * 2 * K2C * R2
+                  + R1 * K2C * m_pad + tile * m_pad)
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -272,7 +279,7 @@ def _fused_call(
         ],
         out_specs=pl.BlockSpec((1, m_pad, frames_total), lambda bb: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE, N_FFT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, N_FFT), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((b, m_pad, frames_total), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             # Clips are independent; the default 16 MB scoped-vmem budget is
@@ -285,7 +292,7 @@ def _fused_call(
             bytes_accessed=int(
                 b * length * 4 + b * m_pad * frames_total * 4
             ),
-            transcendentals=int(b * n_tiles * m_pad * TILE * 4),
+            transcendentals=int(b * n_tiles * m_pad * tile * 4),
         ),
         interpret=interpret,
     )(params, raw_padded, jnp.asarray(consts["d1ri"]),
@@ -317,8 +324,6 @@ class FusedFeaturizer:
     ):
         if n_fft != N_FFT:
             raise ValueError("fused featurizer requires n_fft=4096")
-        if (hop * TILE) % 128 != 0:
-            raise ValueError(f"hop {hop}: hop*{TILE} must be lane-aligned")
         support = np.flatnonzero(np.asarray(mel_weights).max(axis=0) > 0)
         if support.size and support[-1] >= R1 * K2C:
             raise ValueError("filterbank support exceeds bin 1023")
@@ -338,8 +343,26 @@ class FusedFeaturizer:
             [gain, bias, root, smooth, eps, 0.0, 0.0, 0.0], jnp.float32
         )
 
-    def _padded(self, raw: jax.Array, n_tiles: int) -> jax.Array:
-        need = ((n_tiles - 1) * TILE + TILE - 1) * self.hop + N_FFT
+    # One tile per clip when the frame scratch fits comfortably in VMEM
+    # (tile*4096*4 bytes; 768 frames = 12 MB): the whole clip runs as 4 big
+    # MXU dots instead of 4*n_tiles small ones — dot dispatch overhead was
+    # a measurable slice of the 128-frame-tile kernel.  Longer inputs fall
+    # back to 128-frame tiles, which need hop*128 lane-aligned bases.
+    MAX_SINGLE_TILE = 768
+
+    def _tiling(self, frames: int) -> tuple[int, int]:
+        frames_pad = max(-(-frames // 128) * 128, 128)
+        if frames_pad <= self.MAX_SINGLE_TILE:
+            return frames_pad, 1
+        if (self.hop * TILE) % 128 != 0:
+            raise ValueError(
+                f"hop {self.hop}: hop*{TILE} must be lane-aligned for "
+                "multi-tile clips"
+            )
+        return TILE, -(-frames // TILE)
+
+    def _padded(self, raw: jax.Array, tile: int, n_tiles: int) -> jax.Array:
+        need = (n_tiles * tile - 1) * self.hop + N_FFT
         need = -(-need // 128) * 128
         pad = need - raw.shape[-1]
         if pad > 0:
@@ -362,10 +385,10 @@ class FusedFeaturizer:
             raw = jnp.pad(raw, ((0, 0), (half, half)))
         else:
             frames = num_frames_tf(raw.shape[-1], self.hop)
-        n_tiles = -(-frames // TILE)
+        tile, n_tiles = self._tiling(frames)
         out = _fused_call(
-            self._padded(raw, n_tiles), self.params, self.melw_pad,
-            self.hop, n_tiles, self.precision, pcen, interpret,
+            self._padded(raw, tile, n_tiles), self.params, self.melw_pad,
+            self.hop, tile, n_tiles, self.precision, pcen, interpret,
         )[:, : self.n_mels, :frames]
         if pcen and normalize:
             max_v = jnp.max(out)
