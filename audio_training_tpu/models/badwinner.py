@@ -1,7 +1,14 @@
 """badwinner v1 — the superseded small CNN (reference badwinner.py:47-94):
 MagTransform -> BN -> 3 conv/pool stages of 16 filters -> dense 256/32 (as
 1x1 convs over the spatial map, like the Keras Dense-on-4D behavior) ->
-GlobalAvgPool -> Dense(num_labels) -> sigmoid/softmax."""
+GlobalAvgPool -> Dense(num_labels) -> sigmoid/softmax.
+
+No TF logit-parity oracle exists for this one: the reference's
+``build_model`` reads ``activation`` before assigning it
+(badwinner.py:85-87) and raises UnboundLocalError when called — v1 is
+bit-rotted upstream; this port implements the architecture the dead code
+describes (MagTransform ``a`` initialized to 0.0 per badwinner.py:34-38,
+vs v2's -1.0)."""
 
 from __future__ import annotations
 

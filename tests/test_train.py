@@ -395,3 +395,32 @@ def test_kfold_indices_disjoint_and_complete():
         seen_val.extend(val_idx)
     # every element is validated exactly once across folds
     assert sorted(seen_val) == list(range(n))
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host helpers degrade cleanly to the 1-process case and
+    global_batch_from_local matches shard_batch on the virtual mesh."""
+    import numpy as np
+
+    from audio_training_tpu.parallel import (
+        global_batch_from_local,
+        initialize_distributed,
+        make_mesh,
+        process_shard,
+        shard_batch,
+    )
+
+    assert initialize_distributed() is False  # single process: no-op
+
+    items = [f"shard-{i}" for i in range(10)]
+    parts = [process_shard(items, i, 4) for i in range(4)]
+    flat = sorted(x for p in parts for x in p)
+    assert flat == sorted(items)  # disjoint cover
+    assert process_shard(items) == items  # this process owns everything
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    a = global_batch_from_local(mesh, x)
+    b = shard_batch(mesh, x)
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
