@@ -373,3 +373,40 @@ def test_predict_cli_per_class_thresholds(trained_run, tmp_path):
     ])
     assert rc == 0
     assert out_json.exists()
+
+
+def test_folder_eval_with_generated_best_track(trained_run, tmp_path):
+    """End-to-end weak-label flow: signal enrichment -> generate_best_track
+    sidecar (otherdata.generate_tracks parity) -> predict_on_folder scoring
+    consumes it."""
+    from audio_training_tpu.cli.predict import main as predict_main
+    from audio_training_tpu.corpus.enrich import enrich_folder
+
+    folder = tmp_path / "gen_folder"
+    folder.mkdir()
+    rng = np.random.default_rng(11)
+    # intermittent 1.2 kHz chirps in noise so detection finds signal spans
+    frames = 0.01 * rng.standard_normal(SR * 8).astype(np.float32)
+    t = np.arange(int(1.2 * SR)) / SR
+    for start in (1.0, 2.6, 4.2):
+        i = int(start * SR)
+        frames[i : i + len(t)] += np.sin(2 * np.pi * 1200 * t).astype(
+            np.float32
+        )
+    save_wav(folder / "g1.wav", frames, SR)
+    (folder / "g1.txt").write_text(json.dumps({"id": "g1", "label": "kiwi"}))
+
+    n = enrich_folder(folder, rms=False, signal=True, best_track=True)
+    assert n >= 2  # signal spans + best_track both written
+    meta = json.loads((folder / "g1.txt").read_text())
+    assert meta["best_track"]["tags"][0]["what"] == "kiwi"
+
+    out_json = tmp_path / "gen_folder.json"
+    rc = predict_main([
+        str(trained_run.run_dir), "--folder-eval", str(folder),
+        "-w", "chkpt", "--json-out", str(out_json),
+    ])
+    assert rc == 0
+    data = json.loads(out_json.read_text())
+    assert data["total_files"] == 1
+    assert data["per_file"][0]["label"] == "kiwi"
