@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from audio_training_tpu.ops.features import mag_transform
-from audio_training_tpu.ops.pcen import ema_scan, normalize_minmax_global
+from audio_training_tpu.ops.pcen import ema, normalize_minmax_global
 
 # Keras BatchNormalization defaults
 BN_EPS = 1e-3
@@ -93,7 +93,8 @@ class PCENLayer(nn.Module):
         root = jnp.maximum(root, 1.0).astype(x.dtype)
         bias = bias.astype(x.dtype)
         init = jnp.take(x, 0, axis=self.time_axis)
-        m = ema_scan(x, smooth.astype(x.dtype), init, axis=self.time_axis)
+        # MXU Toeplitz matmul for short time axes, scan otherwise
+        m = ema(x, smooth.astype(x.dtype), init, axis=self.time_axis)
         one_over_root = 1.0 / root
         out = (x / (self.eps + m) ** gain + bias) ** one_over_root - (
             bias**one_over_root

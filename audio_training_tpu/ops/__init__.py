@@ -6,7 +6,7 @@ from audio_training_tpu.ops.mel import (
     mel_spec,
 )
 from audio_training_tpu.ops.stft import stft_centered, stft_tf_style
-from audio_training_tpu.ops.pcen import ema_scan, pcen
+from audio_training_tpu.ops.pcen import ema, ema_scan, ema_toeplitz, pcen
 from audio_training_tpu.ops.features import (
     build_mel_weights,
     mag_transform,
@@ -28,7 +28,9 @@ __all__ = [
     "mel_spec",
     "stft_centered",
     "stft_tf_style",
+    "ema",
     "ema_scan",
+    "ema_toeplitz",
     "pcen",
     "build_mel_weights",
     "mag_transform",

@@ -154,7 +154,7 @@ def _featurizer_kernel(
         one_over_root = 1.0 / jnp.maximum(params_ref[2], 1.0)
         w = jnp.clip(params_ref[3], 0.0, 1.0)
         eps = params_ref[4]
-        logd = jnp.log(jnp.maximum(1.0 - w, 1e-38))
+        logd = jnp.log(jnp.maximum(1.0 - w, 1e-30))
         jj = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
         tt = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
         dt = (tt - jj).astype(jnp.float32)

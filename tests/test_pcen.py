@@ -1,5 +1,7 @@
 """PCEN parity vs the reference tfpcen.py layer (run on CPU TF)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -93,3 +95,45 @@ def test_normalize_minmax_global_range():
     out = np.asarray(normalize_minmax_global(x))
     assert out.min() == pytest.approx(-1, abs=1e-6)
     assert out.max() == pytest.approx(1, abs=1e-6)
+
+
+def test_ema_toeplitz_matches_scan():
+    from audio_training_tpu.ops.pcen import ema_scan, ema_toeplitz
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 4, (3, 16, 97)).astype(np.float32))
+    init = x[..., 0]
+    for w in (0.04, 0.3, 1.0):
+        a = np.asarray(ema_scan(x, jnp.float32(w), init, axis=-1))
+        b = np.asarray(ema_toeplitz(x, jnp.float32(w), init, axis=-1))
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+def test_ema_toeplitz_grad_through_smooth():
+    """The Toeplitz operator is built from ``w`` in-graph, so the trainable
+    smooth coefficient still gets gradients (tfpcen trains it)."""
+    from audio_training_tpu.ops.pcen import ema_scan, ema_toeplitz
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(0, 4, (2, 8, 33)).astype(np.float32))
+    init = x[..., 0]
+
+    def loss_t(w):
+        return ema_toeplitz(x, w, init, axis=-1).sum()
+
+    def loss_s(w):
+        return ema_scan(x, w, init, axis=-1).sum()
+
+    gt = float(jax.grad(loss_t)(jnp.float32(0.04)))
+    gs = float(jax.grad(loss_s)(jnp.float32(0.04)))
+    assert abs(gt - gs) / max(abs(gs), 1e-6) < 1e-3
+
+
+def test_pcen_method_dispatch():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 4, (2, 40, 30)).astype(np.float32))
+    a = np.asarray(pcen(x, method="scan"))
+    b = np.asarray(pcen(x, method="toeplitz"))
+    c = np.asarray(pcen(x, method="auto"))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(c, b, rtol=0, atol=0)
