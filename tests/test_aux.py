@@ -394,3 +394,34 @@ def test_generate_best_track(tmp_path):
     # the chosen window overlaps the signal region
     assert bt["start"] < 7.0 and bt["end"] > 4.0
     assert bt["signal_length"] > 0
+
+
+def test_ingest_cli(tmp_path):
+    """otherdata.main CLI surface (otherdata.py:1832-1989)."""
+    import csv as csvmod
+
+    from audio_training_tpu.cli.ingest import main as ingest_main
+
+    # csv corpus mode
+    audio_dir = tmp_path / "audio"; audio_dir.mkdir()
+    tone_wav(audio_dir / "a.wav", freq=700, dur=2.0)
+    csv_f = tmp_path / "meta.csv"
+    with open(csv_f, "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerow(["filename", "category"])
+        w.writerow(["a.wav", "rain"])
+    out = tmp_path / "out"
+    rc = ingest_main(["-d", str(audio_dir), "--csv",
+                      "--csv-file", str(csv_f), "--out", str(out)])
+    assert rc == 0
+    meta = json.loads((out / "a.txt").read_text())
+    assert meta["Tracks"][0]["tags"][0]["what"] == "rain"
+
+    # enrichment mode over the ingested corpus
+    rc = ingest_main(["-d", str(out), "--signal", "--rms"])
+    assert rc == 0
+    meta = json.loads((out / "a.txt").read_text())
+    assert "signal" in meta
+
+    # missing mode errors cleanly
+    assert ingest_main(["-d", str(out)]) == 1
