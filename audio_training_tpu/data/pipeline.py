@@ -21,6 +21,7 @@ Semantics replicated from the reference:
 
 from __future__ import annotations
 
+import os
 import json
 import logging
 import random
@@ -360,7 +361,8 @@ def build_training_stream(
     cache: bool | None = None,
     with_latlng: bool = False,
     shard_groups: list[list[Path]] | None = None,
-) -> BatchLoader:
+    workers: int | None = None,
+):
     """End-to-end loader for one split over one or more dataset dirs
     (main/second/human dataset merging, audiomodel.py:1582-1644).
 
@@ -368,6 +370,13 @@ def build_training_stream(
     lists (one group per source stream) — the k-fold CV path partitions
     files directly, like the reference's KFold over filenames
     (audiomodel.py:227-233).
+
+    ``workers`` selects multiprocess shard decoding for the train split
+    (``data.parallel_loader.ParallelLoader`` — the read-side mirror of the
+    reference's 8-proc writer pool).  Default: AUDIO_TPU_LOADER_WORKERS or
+    cpu_count-1 capped at 4; single-core hosts and paths the parallel
+    loader doesn't cover (eval caching, per-sample lat/lng, weighted
+    multi-stream interleave) use the threaded ``BatchLoader``.
     """
 
     # cache rule parity (tfdataset.py:830-833): non-train splits always cache;
@@ -379,6 +388,26 @@ def build_training_stream(
         if shard_groups is not None
         else [find_shards(d, split) for d in data_dirs]
     )
+
+    if workers is None:
+        env = os.environ.get("AUDIO_TPU_LOADER_WORKERS")
+        workers = int(env) if env else min(4, (os.cpu_count() or 1) - 1)
+    parallel_ok = (
+        workers > 1
+        and augment          # train split: looped, uncached, unweighted
+        and not with_latlng  # geo loss needs the per-sample GPS path
+        and not cache
+        and weights is None
+        and len(groups) == 1
+    )
+    if parallel_ok:
+        from audio_training_tpu.data.parallel_loader import ParallelLoader
+
+        return ParallelLoader(
+            list(groups[0]), label_space, samples_per_clip, batch_size,
+            num_workers=workers, seed=seed, loop=True, mix=True,
+            sharding=sharding,
+        )
 
     def make(seed_offset: int) -> Iterator:
         streams = []

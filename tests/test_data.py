@@ -325,3 +325,30 @@ def test_parallel_loader_mix_pairs(tiny_dataset):
     item = next(iter(loader))
     assert len(item) == 4
     loader.close()
+
+
+def test_build_training_stream_selects_parallel_loader(tiny_dataset):
+    """workers>1 on a plain train split routes through the multiprocess
+    loader; lat/lng (geo loss) and eval splits keep the threaded path."""
+    from audio_training_tpu.data.parallel_loader import ParallelLoader
+    from audio_training_tpu.data.pipeline import (
+        BatchLoader,
+        build_training_stream,
+    )
+
+    root, space = tiny_dataset
+    loader = build_training_stream(
+        [root], "train", space, samples_per_clip=1000, batch_size=4,
+        augment=True, workers=2,
+    )
+    assert isinstance(loader, ParallelLoader)
+    it = iter(loader)
+    raw, y, raw2, y2 = next(it)  # augment -> mixup partner pair
+    assert raw.shape == (4, 1000) and raw2.shape == (4, 1000)
+    loader.close()
+
+    geo = build_training_stream(
+        [root], "train", space, samples_per_clip=1000, batch_size=4,
+        augment=True, workers=2, with_latlng=True,
+    )
+    assert isinstance(geo, BatchLoader)
