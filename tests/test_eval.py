@@ -114,3 +114,27 @@ def test_save_confusion_outputs(tmp_path):
     assert (tmp_path / "c.npy").exists()
     assert (tmp_path / "c.png").exists()
     np.testing.assert_array_equal(np.load(tmp_path / "c.npy"), cm)
+
+
+def test_plot_helpers_write_files(tmp_path):
+    """plot_utils parity surface (plot_mel/plot_mel_signals/plot_waveform)
+    renders to files on the Agg backend."""
+    import numpy as np
+
+    from audio_training_tpu.detect.signals import Signal
+    from audio_training_tpu.eval.plots import (
+        plot_mel,
+        plot_mel_signals,
+        plot_waveform,
+    )
+
+    rng = np.random.default_rng(0)
+    mel = rng.uniform(0, 1, (40, 100)).astype(np.float32)
+    p1 = tmp_path / "mel.png"
+    plot_mel(mel, p1)
+    p2 = tmp_path / "sig.png"
+    plot_mel_signals(mel, [Signal(0.5, 1.5, 800, 2000, 1)], path=p2)
+    p3 = tmp_path / "wave.png"
+    plot_waveform(rng.standard_normal(8000).astype(np.float32), 8000, p3)
+    for p in (p1, p2, p3):
+        assert p.exists() and p.stat().st_size > 1000
