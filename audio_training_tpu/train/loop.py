@@ -128,6 +128,8 @@ def fit(
     )
     val_preprocess = val_preprocess or preprocess
 
+    if run_dir is not None:
+        Path(run_dir).mkdir(parents=True, exist_ok=True)
     tracker = (
         BestCheckpointTracker(Path(run_dir)) if run_dir is not None else None
     )
@@ -186,6 +188,30 @@ def fit(
         )
         if hist_writer is not None:
             hist_writer(epoch, logs, state)
+
+        # failure detection: a non-finite train loss means this epoch's
+        # updates are poison — roll back to the last good per-epoch
+        # checkpoint instead of checkpointing/score-tracking the wreck.
+        # Two consecutive poisoned epochs abort the run.
+        if not np.isfinite(logs.get("loss", 0.0)):
+            nan_epochs = getattr(stopper, "_nan_epochs", 0) + 1
+            stopper._nan_epochs = nan_epochs
+            chkpt = Path(run_dir) / "chkpt" if run_dir is not None else None
+            if nan_epochs >= 2 or chkpt is None or not chkpt.exists():
+                log.error(
+                    "non-finite loss at epoch %d (%d in a row): stopping",
+                    epoch + 1, nan_epochs,
+                )
+                break
+            from audio_training_tpu.train.checkpoints import restore_into
+
+            log.error(
+                "non-finite loss at epoch %d: restoring %s and continuing",
+                epoch + 1, chkpt,
+            )
+            state = restore_into(state, chkpt)
+            continue
+        stopper._nan_epochs = 0
 
         if tracker is not None:
             tracker.update(epoch, logs, state)

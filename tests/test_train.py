@@ -424,3 +424,49 @@ def test_multihost_helpers_single_process():
     b = shard_batch(mesh, x)
     assert a.sharding == b.sharding
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_recovers_from_nan_epoch(tmp_path):
+    """Failure detection: a poisoned epoch (non-finite loss) rolls back to
+    the per-epoch checkpoint and training continues; two in a row abort."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.train import create_train_state
+    from audio_training_tpu.train.loop import fit
+
+    num_labels = 3
+    spec = build_model("embeddings", num_labels=num_labels, logits_only=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 16)).astype(np.float32)
+    y = np.eye(4, num_labels, dtype=np.float32)
+    state = create_train_state(spec.module, (x[:1],), learning_rate=1e-3)
+
+    def batches(epoch):
+        xi = x.copy()
+        if epoch == 1:  # poison epoch 1 only
+            xi[:] = np.inf
+        yield xi, y
+
+    def preprocess(raw, yy):
+        return jnp.asarray(raw), jnp.asarray(yy)
+
+    result = fit(
+        state, batches, preprocess, epochs=3, run_dir=tmp_path,
+        augment=False, early_stop_patience=10,
+    )
+    losses = result.history["loss"]
+    assert len(losses) == 3
+    assert np.isfinite(losses[0]) and np.isfinite(losses[2])
+    assert not np.isfinite(losses[1])
+
+    # all-poison run aborts after two consecutive bad epochs
+    def bad_batches(epoch):
+        xi = np.full_like(x, np.inf)
+        yield xi, y
+
+    state2 = create_train_state(spec.module, (x[:1],), learning_rate=1e-3)
+    r2 = fit(state2, bad_batches, preprocess, epochs=5,
+             run_dir=tmp_path / "bad", augment=False)
+    assert r2.epochs_run <= 3
