@@ -154,7 +154,12 @@ class Conv(nn.Module):
 
 
 def max_pool(x: jax.Array, window: Sequence[int]) -> jax.Array:
-    """Keras MaxPool2D semantics: stride = window, valid padding."""
+    """Keras MaxPool2D semantics: stride = window, valid padding.
+
+    Keep the reduce-window form: a crop->reshape->max rewrite (exactly
+    equivalent for stride == window) measured 10 ms SLOWER end-to-end at
+    batch 256 on TPU — the reshape breaks producer fusion with the conv
+    chain, while XLA fuses the reduce-window pool into it."""
     w = tuple(window)
     return nn.max_pool(x, window_shape=w, strides=w, padding="VALID")
 
