@@ -119,3 +119,54 @@ def test_wr_resnet_logit_parity(tf):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_wr_resnet_bird_logit_parity(tf):
+    """wr_resnet_bird in keras_slip_compat mode vs the actual reference
+    graph.  tensorflow_probability isn't installed; the reference only uses
+    tfp.math.reduce_logmeanexp, injected here as the exact identity
+    logsumexp(x) - log(n) so the reference module imports unmodified."""
+    import sys
+    import types
+
+    fake = types.ModuleType("tensorflow_probability")
+
+    def reduce_logmeanexp(x, axis=None, keepdims=False):
+        # keras.ops (not raw tf.*) so it also works on Keras-3 symbolic
+        # tensors inside the reference's functional graph
+        import keras
+
+        return (keras.ops.logsumexp(x, axis=axis, keepdims=keepdims)
+                - np.log(float(x.shape[axis])))
+
+    fake.math = types.SimpleNamespace(reduce_logmeanexp=reduce_logmeanexp)
+    sys.modules.setdefault("tensorflow_probability", fake)
+    sys.path.insert(0, str(REFERENCE / "resnet"))
+    try:
+        import wr_resnet_bird as ref  # NOTE: builds a model at import
+    finally:
+        sys.path.pop(0)
+
+    import jax
+
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+    from audio_training_tpu.models.wr_resnet_bird import WRResNetBird
+
+    classes, depth, k = 3, 10, 2
+    shape = (48, 64, 1)
+    keras_model = ref.WRResNet(input_shape=shape, classes=classes,
+                               depth=depth, k=k)
+    _randomize_keras_weights(tf, keras_model, seed=5)
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(0.0, 1.0, (2, *shape)).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = WRResNetBird(classes=classes, depth=depth, k=k,
+                          keras_slip_compat=True)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
