@@ -170,3 +170,37 @@ def test_wr_resnet_bird_logit_parity(tf):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_badwinner2_res_logit_parity(tf):
+    """badwinner2-res (build_model_res, badwinner2.py:127-209) vs the
+    reference graph: 4-conv res blocks, 48x3 condense, orthogonal head."""
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import badwinner2 as ref_badwinner2
+    finally:
+        sys.path.pop(0)
+
+    import jax
+
+    from audio_training_tpu.models.badwinner2 import BadWinner2Res
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    num_labels = 5
+    shape = (160, 201, 1)  # big-condense path requires 160 mels
+    keras_model = ref_badwinner2.build_model_res(
+        shape, None, num_labels, multi_label=True
+    )
+    _randomize_keras_weights(tf, keras_model, seed=7)
+
+    rng = np.random.default_rng(8)
+    x = np.abs(rng.normal(0.0, 1.0, (2, *shape))).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = BadWinner2Res(num_labels=num_labels, multi_label=True)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
