@@ -11,9 +11,6 @@ fastest first:
 * ``matmul`` — radix-64 matmul-FFT in XLA; needs n_fft=4096.
 * ``rfft`` — gather-free framing + jnp.fft.rfft + fused power/mel; works for
   any geometry (and on CPU without interpret overhead).
-* ``fused_pallas`` — earlier two-kernel Pallas FFT+mel attempt, kept for
-  newer toolchains (current Mosaic rejects its lane reshape).
-
 ``auto`` picks the fastest valid one for the current backend: ``fused`` on
 TPU when the geometry allows, else ``matmul``/``rfft``.
 """
@@ -51,11 +48,6 @@ def make_mel_fn(
     if backend == "fused":
         return make_fused_featurizer(cfg, w, precision)
 
-    if backend == "fused_pallas":
-        from audio_training_tpu.ops.pallas.fftmel_kernel import FusedFFTMelPlan
-
-        plan = FusedFFTMelPlan(w, cfg.n_fft, cfg.hop_length)
-        return lambda raw: plan(raw)
     if backend == "matmul":
         from audio_training_tpu.ops.fftmel import MatmulMelPlan
 

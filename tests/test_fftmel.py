@@ -10,7 +10,6 @@ from audio_training_tpu.ops.fftmel import (
     pack_mel_weights,
     plan_bins,
 )
-from audio_training_tpu.ops.pallas.fftmel_kernel import FusedFFTMelPlan
 
 CFG = FeaturizerConfig()
 
@@ -53,19 +52,14 @@ def test_matmul_plan_matches_rfft(batch, mel_w, reference_mel):
     assert err.max() < 1e-4
 
 
-def test_fused_pallas_plan_matches_rfft(batch, mel_w, reference_mel):
-    got = np.asarray(FusedFFTMelPlan(mel_w, CFG.n_fft, CFG.hop_length)(batch))
-    assert got.shape == reference_mel.shape
-    err = np.abs(got - reference_mel) / (np.abs(reference_mel) + 1e-3)
-    assert err.max() < 1e-4
-
-
 def test_fused_plan_rejects_wide_filterbank():
+    from audio_training_tpu.ops.pallas.fused_featurizer import FusedFeaturizer
+
     wide = build_mel_weights(
         FeaturizerConfig(fmax=20000)  # support beyond bin 1023
     )
     with pytest.raises(ValueError):
-        FusedFFTMelPlan(wide)
+        FusedFeaturizer(wide)
 
 
 def test_matmul_plan_other_nfft_rejected(mel_w):
