@@ -111,3 +111,19 @@ def test_centered_matches_matmul_fft(cfg, mel_w, raw):
     assert out.shape == ref.shape
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 1e-5
+
+
+def test_single_tile_arbitrary_hop(mel_w):
+    """Single-tile clips don't need the hop*128 lane alignment the
+    multi-tile path requires — any hop works for <=768-frame inputs."""
+    rng = np.random.default_rng(11)
+    raw = jnp.asarray(rng.standard_normal((1, 30000)).astype(np.float32))
+    for hop in (160, 313):
+        ref = np.asarray(
+            MatmulMelPlan(mel_w, 4096, hop, precision="highest")(raw)
+        )
+        fz = FusedFeaturizer(mel_w, 4096, hop, precision="highest")
+        out = np.asarray(fz(raw, pcen=False, interpret=True))
+        assert out.shape == ref.shape
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 1e-5, (hop, rel)
