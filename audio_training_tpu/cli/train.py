@@ -52,6 +52,9 @@ def parse_args(argv=None):
     parser.add_argument("--fmax", type=float, default=11000)
     parser.add_argument("--data-shards", type=int, default=1,
                         help="Data-parallel mesh size (chips)")
+    parser.add_argument("--loader-workers", type=int, default=None,
+                        help="Host decode processes for the train split "
+                             "(default: auto from cpu count)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-c", "--config-file", default=None,
                         help="JSON TrainConfig overrides")
@@ -79,6 +82,7 @@ def main(argv=None) -> int:
         use_generic_bird=args.use_generic_bird, loss=args.loss,
         use_weighting=bool(args.weighting),
         num_data_shards=args.data_shards, seed=args.seed,
+        loader_workers=args.loader_workers,
     )
     if args.config_file:
         import json

@@ -138,6 +138,9 @@ class TrainConfig:
     model_axis: str = "model"
     num_data_shards: int = 1  # mesh data-parallel size; 1 = single chip
     remat: bool = False
+    # host loader processes for train-split decode; None = auto
+    # (AUDIO_TPU_LOADER_WORKERS env or cpu_count-1 capped at 4)
+    loader_workers: int | None = None
 
 
 @dataclass(frozen=True)

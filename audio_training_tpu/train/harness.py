@@ -230,6 +230,7 @@ def train_run(
             batch_size=train_cfg.batch_size, seed=train_cfg.seed + epoch,
             augment=True, sharding=sharding, with_latlng=with_latlng,
             shard_groups=train_shard_groups,
+            workers=train_cfg.loader_workers,
         )
         yield from loader
 
