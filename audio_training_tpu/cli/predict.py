@@ -126,13 +126,22 @@ def load_predictor(model_dir: Path, weights: str, aggregation: str = "mean",
 
 
 def predict_file(predictor, path: Path, grid_meta=None, lat=None, lng=None,
-                 month=None, threshold=0.7, denoise=False):
+                 month=None, threshold=0.7, denoise=False,
+                 speech_scorer=None):
+    """Returns (per-track meta list, speech_score-or-None).  The speech
+    score resamples the already-decoded frames (predict.get_speech_score,
+    predict.py:1051) instead of decoding the file a second time."""
     import numpy as np
 
-    from audio_training_tpu.corpus.audioio import load_recording
+    from audio_training_tpu.corpus.audioio import load_recording, resample
     from audio_training_tpu.infer.ebirdgrid import apply_species_mask
 
     frames, sr = load_recording(path, target_sr=predictor.cfg.sr)
+    speech_score = None
+    if speech_scorer is not None:
+        speech_score = speech_scorer.speech_score(
+            resample(frames, sr, speech_scorer.sample_rate)
+        )
     if denoise:
         from audio_training_tpu.ops.denoise import spectral_gate
 
@@ -157,7 +166,7 @@ def predict_file(predictor, path: Path, grid_meta=None, lat=None, lng=None,
                 for i in np.flatnonzero(masked > 0)
             ]
         out.append(meta)
-    return out
+    return out, speech_score
 
 
 def main(argv=None) -> int:
@@ -196,7 +205,7 @@ def main(argv=None) -> int:
         from audio_training_tpu.infer.folder import predict_on_folder
 
         result = predict_on_folder(predictor, args.folder_eval,
-                                   threshold=args.threshold)
+                                   threshold=threshold)
         if args.json_out:
             Path(args.json_out).write_text(json.dumps(
                 {"accuracy": result.accuracy,
@@ -236,9 +245,10 @@ def main(argv=None) -> int:
 
     all_results = {}
     for f in files:
-        track_meta = predict_file(
+        track_meta, speech_score = predict_file(
             predictor, f, grid_meta, args.lat, args.lng, args.month,
-            args.threshold, denoise=bool(args.denoise),
+            threshold, denoise=bool(args.denoise),
+            speech_scorer=speech_scorer,
         )
         for tm in track_meta:
             for p in tm["predictions"]:
@@ -248,15 +258,9 @@ def main(argv=None) -> int:
                     p["labels"] or p.get("raw_tag"),
                     p["confidences"] or p.get("raw_confidence"),
                 )
-        if speech_scorer is not None:
-            from audio_training_tpu.corpus.audioio import load_recording
-
-            frames_16k, _ = load_recording(
-                f, target_sr=speech_scorer.sample_rate
-            )
-            score = speech_scorer.speech_score(frames_16k)
-            logging.info("%s speech score %.3f", f.name, score)
-            track_meta = {"speech_score": score, "tracks": track_meta}
+        if speech_score is not None:
+            logging.info("%s speech score %.3f", f.name, speech_score)
+            track_meta = {"speech_score": speech_score, "tracks": track_meta}
         all_results[str(f)] = track_meta
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(all_results, indent=2))

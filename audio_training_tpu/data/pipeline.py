@@ -373,10 +373,12 @@ def build_training_stream(
 
     ``workers`` selects multiprocess shard decoding for the train split
     (``data.parallel_loader.ParallelLoader`` — the read-side mirror of the
-    reference's 8-proc writer pool).  Default: AUDIO_TPU_LOADER_WORKERS or
-    cpu_count-1 capped at 4; single-core hosts and paths the parallel
-    loader doesn't cover (eval caching, per-sample lat/lng, weighted
-    multi-stream interleave) use the threaded ``BatchLoader``.
+    reference's 8-proc writer pool).  It is OPT-IN (flag, TrainConfig, or
+    AUDIO_TPU_LOADER_WORKERS env): the workers fork() after jax is live in
+    the parent, which is only safe when the deployment accepts that.
+    Paths the parallel loader doesn't cover (deterministic streams, eval
+    caching, per-sample lat/lng, weighted multi-stream interleave) use the
+    threaded ``BatchLoader``.
     """
 
     # cache rule parity (tfdataset.py:830-833): non-train splits always cache;
@@ -390,11 +392,15 @@ def build_training_stream(
     )
 
     if workers is None:
+        # opt-in only: the loader fork()s AFTER jax is initialized in this
+        # process (inherited client fds/threads are a fork hazard), so it
+        # must be requested explicitly via config/CLI or the env var
         env = os.environ.get("AUDIO_TPU_LOADER_WORKERS")
-        workers = int(env) if env else min(4, (os.cpu_count() or 1) - 1)
+        workers = int(env) if env else 0
     parallel_ok = (
         workers > 1
         and augment          # train split: looped, uncached, unweighted
+        and not deterministic  # forked workers race on the shared queue
         and not with_latlng  # geo loss needs the per-sample GPS path
         and not cache
         and weights is None

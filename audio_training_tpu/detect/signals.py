@@ -458,7 +458,7 @@ def merge_again(tracks: list[Signal]) -> list[Signal]:
     One documented fix: the reference's trailing ``if overlap <= 0`` block
     re-appends a newcomer its ``else`` branch already appended (overlap<=0
     implies both percent tests were false), so every gap-separated track
-    appears TWICE in its output — here the re-append is guarded.
+    appears TWICE in its output — the duplicate append is removed here.
     """
     post_filter: list[Signal] = []
     current = None
@@ -481,9 +481,9 @@ def merge_again(tracks: list[Signal]) -> list[Signal]:
             if f_pct > 0.5:
                 current.end = max(current.end, t.end)
         else:
-            current = t
-            post_filter.append(current)
-        if overlap <= 0 and post_filter[-1] is not t:
+            # also covers overlap <= 0 (both percent tests are then false);
+            # the reference's extra `if overlap <= 0` block after this
+            # appended the same newcomer a SECOND time — dropped here
             current = t
             post_filter.append(current)
     return post_filter

@@ -136,12 +136,40 @@ class EmbeddingPredictor:
         self.multi_label = multi_label
         self.model_name = f"embeddings-{embedder.name}"
 
-    def predict_recording(self, frames: np.ndarray, sr: int,
-                          tracks: list | None = None,
-                          threshold: float | None = None):
+    def _probs(self, embs: np.ndarray) -> np.ndarray:
         import jax
         import jax.numpy as jnp
 
+        logits = self.module.apply(self.variables, jnp.asarray(embs),
+                                   train=False)
+        return np.asarray(
+            jax.nn.sigmoid(logits) if self.multi_label
+            else jax.nn.softmax(logits)
+        )
+
+    def predict_windows(self, windows: np.ndarray,
+                        sr: int | None = None) -> np.ndarray:
+        """Classify (N, samples) windows — the strong/weak-label folder
+        evaluators call this (infer/folder.py).  ``sr`` is the windows'
+        sample rate (defaults to the featurizer config rate the evaluators
+        extract at); each window is resampled to the embedding model's
+        rate before embedding."""
+        if windows.shape[0] == 0:
+            return np.zeros((0, len(self.labels)), np.float32)
+        from audio_training_tpu.corpus.audioio import resample
+
+        sr = sr if sr is not None else self.cfg.sr
+        model_sr = self.embedder.sample_rate
+        embs = []
+        for w in windows:
+            if sr != model_sr:
+                w = resample(w, sr, model_sr)
+            embs.append(self.embedder.embed_window(w))
+        return self._probs(np.stack(embs).astype(np.float32))
+
+    def predict_recording(self, frames: np.ndarray, sr: int,
+                          tracks: list | None = None,
+                          threshold: float | None = None):
         from audio_training_tpu.corpus.audioio import resample
         from audio_training_tpu.detect.signals import (
             get_end,
@@ -167,15 +195,7 @@ class EmbeddingPredictor:
         )
         if batch.windows.shape[0] == 0:
             return tracks, [None] * len(tracks)
-        embs = np.stack([
-            self.embedder.embed_window(w) for w in batch.windows
-        ]).astype(np.float32)
-        logits = self.module.apply(self.variables, jnp.asarray(embs),
-                                   train=False)
-        probs = np.asarray(
-            jax.nn.sigmoid(logits) if self.multi_label
-            else jax.nn.softmax(logits)
-        )
+        probs = self.predict_windows(batch.windows, sr=model_sr)
         results = aggregate_tracks(
             probs, batch.track_index, len(tracks), self.labels,
             threshold=threshold, model_name=self.model_name,

@@ -4,8 +4,8 @@ Implementations of waveform -> (B, M, T) mel power (tf-stft convention),
 fastest first:
 
 * ``fused`` — the fully-fused Pallas kernel (framing + two-stage matmul-DFT
-  + mel in VMEM, ops/pallas/fused_featurizer.py); needs n_fft=4096,
-  hop*128 lane-aligned, and filterbank support within the first 1024 bins.
+  + mel in VMEM, ops/pallas/fused_featurizer.py); needs n_fft=4096 and
+  filterbank support within the first 1024 bins.
   ~2x the matmul-FFT at exact parity, ~4x at bf16 (measured on-chip, see
   docs/PERFORMANCE.md).
 * ``matmul`` — radix-64 matmul-FFT in XLA; needs n_fft=4096.

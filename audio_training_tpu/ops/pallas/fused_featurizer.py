@@ -20,9 +20,8 @@ unrolls the frame tiles in Python, making every slice offset fully static):
   (<= 768 frames; the production 513-frame clip pads to 640 either way),
   so each DFT stage is a single big MXU dot per clip — measurably faster
   than 128-frame tiles, whose 4*n_tiles small dots pay dispatch overhead
-  per dot.  Longer inputs fall back to 128-frame tiles, where
-  ``hop * 128 = 281 * 128 = 35968`` being a lane multiple keeps every
-  tile's static base aligned;
+  per dot.  Longer inputs fall back to 128-frame tiles (every slice offset
+  is static either way, so no hop-alignment constraint exists);
 * no lane-dimension merges: the only reshapes are the minor-dim split
   ``(F, 4096) -> (F, 32, 128)`` and the sublane merge ``(32, 32, 128) ->
   (1024, 128)``, both layout-preserving;
@@ -62,7 +61,7 @@ from audio_training_tpu.ops.stft import (
 R1 = 32  # stage-1 DFT size (k1 bins)
 R2 = 128  # stage-2 DFT size (n2 / lane dimension)
 K2C = 32  # stage-2 columns kept: bins k1 + 32*k2 cover 0..1023
-TILE = 128  # frames per in-kernel tile; 281*128 % 128 == 0
+TILE = 128  # frames per multi-tile chunk (long inputs only)
 N_FFT = R1 * R2
 
 _PRECISIONS = {
@@ -282,9 +281,12 @@ def _fused_call(
         scratch_shapes=[pltpu.VMEM((tile, N_FFT), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((b, m_pad, frames_total), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            # Clips are independent; the default 16 MB scoped-vmem budget is
-            # too small for the unrolled 5-tile body (25.8 MB measured).
-            dimension_semantics=("arbitrary",),
+            # Clips are independent (the PCEN carry only flows across tiles
+            # WITHIN one invocation) — "parallel" lets megacore generations
+            # split the clip grid across TensorCores.  The default 16 MB
+            # scoped-vmem budget is too small for the unrolled body
+            # (25.8 MB measured at 5 tiles).
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -347,18 +349,15 @@ class FusedFeaturizer:
     # (tile*4096*4 bytes; 768 frames = 12 MB): the whole clip runs as 4 big
     # MXU dots instead of 4*n_tiles small ones — dot dispatch overhead was
     # a measurable slice of the 128-frame-tile kernel.  Longer inputs fall
-    # back to 128-frame tiles, which need hop*128 lane-aligned bases.
+    # back to 128-frame tiles.  No hop-alignment constraint exists in
+    # either mode: every slice offset is fully static (the Python-unrolled
+    # framing loop), and tile bases g*128*hop are trivially lane-aligned.
     MAX_SINGLE_TILE = 768
 
     def _tiling(self, frames: int) -> tuple[int, int]:
         frames_pad = max(-(-frames // 128) * 128, 128)
         if frames_pad <= self.MAX_SINGLE_TILE:
             return frames_pad, 1
-        if (self.hop * TILE) % 128 != 0:
-            raise ValueError(
-                f"hop {self.hop}: hop*{TILE} must be lane-aligned for "
-                "multi-tile clips"
-            )
         return TILE, -(-frames // TILE)
 
     def _padded(self, raw: jax.Array, tile: int, n_tiles: int) -> jax.Array:

@@ -209,7 +209,13 @@ def fit(
                 "non-finite loss at epoch %d: restoring %s and continuing",
                 epoch + 1, chkpt,
             )
+            lr = state.current_lr()
             state = restore_into(state, chkpt)
+            # the NaN gradients also poisoned the optimizer moments —
+            # restoring params alone would re-diverge on the next update
+            state = state.replace(
+                opt_state=state.tx.init(state.params)
+            ).with_lr(lr)
             continue
         stopper._nan_epochs = 0
 

@@ -356,23 +356,33 @@ def test_predict_cli_per_class_thresholds(trained_run, tmp_path):
     predict.py:503 parity)."""
     from audio_training_tpu.cli.predict import main as predict_main
 
-    table = {l: 0.5 for l in trained_run.labels}
-    thresholds_file = tmp_path / "thresholds.json"
-    thresholds_file.write_text(json.dumps(table))
     rng = np.random.default_rng(9)
     t = np.arange(SR * 5) / SR
     frames = (np.sin(2 * np.pi * 1100 * t) * (t % 3 < 1.4)).astype(np.float32)
     frames += 0.02 * rng.standard_normal(len(frames)).astype(np.float32)
     wav = tmp_path / "pt.wav"
     save_wav(wav, frames, SR)
-    out_json = tmp_path / "pt.json"
-    rc = predict_main([
-        str(trained_run.run_dir), "--file", str(wav), "-w", "chkpt",
-        "--thresholds-json", str(thresholds_file),
-        "--json-out", str(out_json),
-    ])
-    assert rc == 0
-    assert out_json.exists()
+
+    def run(table):
+        thresholds_file = tmp_path / "thresholds.json"
+        thresholds_file.write_text(json.dumps(table))
+        out_json = tmp_path / "pt.json"
+        rc = predict_main([
+            str(trained_run.run_dir), "--file", str(wav), "-w", "chkpt",
+            "--thresholds-json", str(thresholds_file),
+            "--json-out", str(out_json),
+        ])
+        assert rc == 0
+        data = json.loads(out_json.read_text())
+        return [p for tms in data.values() for tm in tms
+                for p in tm["predictions"]]
+
+    # the table must actually be APPLIED: an all-zero table accepts every
+    # label; an impossible table rejects them all (raw_tag fallback)
+    low = run({l: 0.0 for l in trained_run.labels})
+    assert low and all(p["labels"] for p in low)
+    high = run({l: 1.1 for l in trained_run.labels})
+    assert high and all(not p["labels"] for p in high)
 
 
 def test_folder_eval_with_generated_best_track(trained_run, tmp_path):

@@ -176,3 +176,25 @@ def test_predict_cli_embeddings_route(perch_path, linear_probe, tmp_path):
                                 embedding_model=str(perch_path))
     assert isinstance(pred, EmbeddingPredictor)
     assert pred.labels == labels
+
+
+def test_embedding_predictor_predict_windows(perch_path, linear_probe):
+    """predict_windows — the interface strong/weak-label folder evaluation
+    calls (infer/folder.py) — resamples windows to the model rate."""
+    from audio_training_tpu.config import FeaturizerConfig, InferenceConfig
+    from audio_training_tpu.infer.embeddings import (
+        EmbeddingPredictor,
+        PerchModel,
+    )
+
+    spec, variables = linear_probe
+    pred = EmbeddingPredictor(
+        PerchModel(perch_path), spec.module, variables,
+        [f"l{i}" for i in range(5)], FeaturizerConfig(), InferenceConfig(),
+    )
+    rng = np.random.default_rng(4)
+    windows = rng.standard_normal((3, 48000 * 3)).astype(np.float32)
+    probs = pred.predict_windows(windows)  # default sr = cfg.sr (48k)
+    assert probs.shape == (3, 5)
+    assert np.isfinite(probs).all() and (0 <= probs).all() and (probs <= 1).all()
+    assert pred.predict_windows(np.zeros((0, 10), np.float32)).shape == (0, 5)

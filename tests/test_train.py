@@ -460,6 +460,19 @@ def test_fit_recovers_from_nan_epoch(tmp_path):
     assert len(losses) == 3
     assert np.isfinite(losses[0]) and np.isfinite(losses[2])
     assert not np.isfinite(losses[1])
+    # recovery must also reset the optimizer moments: with poisoned Adam
+    # state the restored params would re-diverge on the next update
+    import jax
+
+    assert all(
+        np.isfinite(np.asarray(p)).all()
+        for p in jax.tree_util.tree_leaves(result.state.params)
+    )
+    assert all(
+        np.isfinite(np.asarray(p)).all()
+        for p in jax.tree_util.tree_leaves(result.state.opt_state)
+        if hasattr(p, "dtype") and np.issubdtype(p.dtype, np.floating)
+    )
 
     # all-poison run aborts after two consecutive bad epochs
     def bad_batches(epoch):
