@@ -120,8 +120,9 @@ def test_freeze_and_predict(trained_run, tmp_path):
     frames += 0.01 * rng.standard_normal(len(frames)).astype(np.float32)
     wav = tmp_path / "test.wav"
     save_wav(wav, frames, SR)
-    track_meta = predict_file(predictor, wav)
+    track_meta, speech_score = predict_file(predictor, wav)
     assert isinstance(track_meta, list)
+    assert speech_score is None  # no scorer passed
     for tm in track_meta:
         assert "start" in tm and "predictions" in tm
 
