@@ -341,3 +341,68 @@ def generate_best_track(metadata_file: str | Path, label: str | None = None,
         log.error("Error generating best track for %s", metadata_file,
                   exc_info=True)
         return False
+
+
+def analyze_rms(metadata_file: str | Path,
+                min_stddev_percent: float = 0.15) -> list[dict]:
+    """Per-track RMS quality report (otherdata.analyze_rms,
+    otherdata.py:1077-1151): peak-matched noise removal over the stored
+    bird/noise/upper band-RMS arrays, the low-stddev flatness flag (the
+    reference logs tracks whose std/mean < 0.15 as suspect), and the
+    best-3 s-window offset.  Bird-tagged tracks analyze ``bird_rms``
+    against ``noise_rms``; others the reverse.  Returns one dict per
+    analyzable track instead of log lines."""
+    import scipy.signal
+
+    from audio_training_tpu.corpus.dataset import best_rms, remove_rms_noise
+    from audio_training_tpu.taxonomy.ebird import get_ebird_id
+    from audio_training_tpu.taxonomy.ontology import load_ontology
+
+    metadata_file = Path(metadata_file).with_suffix(".txt")
+    if not metadata_file.exists():
+        log.error("No metadata for %s", metadata_file)
+        return []
+    meta = json.loads(metadata_file.read_text())
+    all_birds = set(load_ontology().all_birds)
+    rms_thresh = 0.00001
+    rms_height = 0.001
+    out: list[dict] = []
+    for t in meta.get("Tracks", []):
+        tags = {tag.get("what") for tag in t.get("tags", [])
+                if tag.get("what")}
+        if not tags or "bird_rms" not in t or "upper_rms" not in t:
+            continue
+        upper_peaks, _ = scipy.signal.find_peaks(
+            np.asarray(t["upper_rms"], np.float64),
+            threshold=rms_thresh / 10, height=rms_height / 10, width=2,
+        )
+        # sidecar tags are common names; the ontology's bird set holds
+        # eBird ids (+ a few curated labels) — check both forms
+        bird = any(
+            tag in all_birds or (get_ebird_id(tag) or "") in all_birds
+            for tag in tags
+        )
+        rms = np.asarray(t["bird_rms" if bird else "noise_rms"], np.float64)
+        noise = np.asarray(t["noise_rms" if bird else "bird_rms"], np.float64)
+        rms_peaks, rms_meta = scipy.signal.find_peaks(
+            rms, threshold=rms_thresh, height=rms_height, width=2
+        )
+        noise_peaks, noise_meta = scipy.signal.find_peaks(
+            noise, threshold=rms_thresh, height=rms_height, width=2
+        )
+        remove_rms_noise(rms, rms_peaks, rms_meta, noise_peaks, noise_meta,
+                         upper_peaks)
+        mean = float(np.mean(rms))
+        std = float(np.std(rms))
+        pct = std / mean if mean else 0.0
+        best_offset, best_sum = best_rms(rms)
+        out.append({
+            "track_id": t.get("id"),
+            "tags": sorted(tags),
+            "used": "bird_rms" if bird else "noise_rms",
+            "stddev_percent": pct,
+            "low_stddev": pct < min_stddev_percent,
+            "best_offset_s": round(best_offset * 281 / 48000, 2),
+            "best_sum": float(best_sum),
+        })
+    return out

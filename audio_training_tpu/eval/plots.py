@@ -75,3 +75,38 @@ def plot_waveform(data: np.ndarray, sr: int, path: str | Path | None = None):
         fig.savefig(str(path), format="png")
         plt.close(fig)
     return fig
+
+
+def plot_track_rms(metadata_file, out_dir=None):
+    """Render per-track bird/noise/upper band-RMS panels from an enriched
+    sidecar (otherdata.load_rms_meta/graph_rms, otherdata.py:1560-1830
+    debug plots).  Returns the written file paths (one per track with RMS
+    arrays)."""
+    import json
+    from pathlib import Path
+
+    plt = _plt()
+    metadata_file = Path(metadata_file).with_suffix(".txt")
+    meta = json.loads(metadata_file.read_text())
+    out_dir = Path(out_dir) if out_dir is not None else metadata_file.parent
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for i, t in enumerate(meta.get("Tracks", [])):
+        bands = [(k, t[k]) for k in ("bird_rms", "noise_rms", "upper_rms")
+                 if t.get(k)]
+        if not bands:
+            continue
+        fig, axes = plt.subplots(nrows=len(bands), sharex=True,
+                                 figsize=(10, 2.2 * len(bands)))
+        if len(bands) == 1:
+            axes = [axes]
+        for ax, (name, rms) in zip(axes, bands):
+            rms = np.asarray(rms, np.float64)
+            ax.semilogy(np.maximum(rms, 1e-12), label="RMS Energy")
+            ax.set_title(name)
+            ax.legend()
+        path = out_dir / f"{metadata_file.stem}-t{i}-rms.png"
+        fig.savefig(str(path), format="png")
+        plt.close(fig)
+        written.append(path)
+    return written

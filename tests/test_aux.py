@@ -425,3 +425,40 @@ def test_ingest_cli(tmp_path):
 
     # missing mode errors cleanly
     assert ingest_main(["-d", str(out)]) == 1
+
+
+def test_analyze_rms(tmp_path):
+    """RMS quality report over enriched sidecars (otherdata.analyze_rms,
+    otherdata.py:1077-1151)."""
+    from audio_training_tpu.corpus.enrich import analyze_rms, process_rms
+
+    tone_wav(tmp_path / "q.wav", freq=900, dur=5.0)
+    (tmp_path / "q.txt").write_text(json.dumps({
+        "id": "q",
+        "Tracks": [{"id": "t0", "start": 0.0, "end": 5.0,
+                    "tags": [{"what": "morepork", "automatic": False}]}],
+    }))
+    assert process_rms(tmp_path / "q.txt", target_sr=SR)
+    report = analyze_rms(tmp_path / "q.txt")
+    assert len(report) == 1
+    r = report[0]
+    assert r["used"] == "bird_rms"  # morepork is a bird tag
+    assert r["stddev_percent"] >= 0 and isinstance(r["low_stddev"], bool)
+    assert r["best_offset_s"] >= 0
+    # missing sidecar -> empty report, no raise
+    assert analyze_rms(tmp_path / "absent.txt") == []
+
+
+def test_plot_track_rms(tmp_path):
+    from audio_training_tpu.corpus.enrich import process_rms
+    from audio_training_tpu.eval.plots import plot_track_rms
+
+    tone_wav(tmp_path / "p.wav", freq=700, dur=4.0)
+    (tmp_path / "p.txt").write_text(json.dumps({
+        "id": "p",
+        "Tracks": [{"id": "t0", "start": 0.0, "end": 4.0,
+                    "tags": [{"what": "rain", "automatic": False}]}],
+    }))
+    assert process_rms(tmp_path / "p.txt", target_sr=SR)
+    written = plot_track_rms(tmp_path / "p.txt", tmp_path / "plots")
+    assert len(written) == 1 and written[0].stat().st_size > 1000

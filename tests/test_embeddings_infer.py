@@ -198,3 +198,39 @@ def test_embedding_predictor_predict_windows(perch_path, linear_probe):
     assert probs.shape == (3, 5)
     assert np.isfinite(probs).all() and (0 <= probs).all() and (probs <= 1).all()
     assert pred.predict_windows(np.zeros((0, 10), np.float32)).shape == (0, 5)
+
+
+def test_embeddings_run_folder_eval(perch_path, linear_probe, tmp_path):
+    """Strong-label folder eval works for an embeddings run end-to-end
+    (regression: EmbeddingPredictor lacked predict_windows and folder eval
+    crashed)."""
+    from audio_training_tpu.config import FeaturizerConfig, InferenceConfig
+    from audio_training_tpu.corpus.audioio import save_wav
+    from audio_training_tpu.infer.embeddings import (
+        EmbeddingPredictor,
+        PerchModel,
+    )
+    from audio_training_tpu.infer.folder import predict_on_folder
+
+    spec, variables = linear_probe
+    labels = [f"l{i}" for i in range(5)]
+    pred = EmbeddingPredictor(
+        PerchModel(perch_path), spec.module, variables, labels,
+        FeaturizerConfig(), InferenceConfig(threshold=0.0),
+    )
+    import json
+
+    folder = tmp_path / "folder"
+    folder.mkdir()
+    rng = np.random.default_rng(5)
+    sr = 48000
+    save_wav(folder / "r.wav",
+             rng.standard_normal(sr * 6).astype(np.float32), sr)
+    (folder / "r.txt").write_text(json.dumps({
+        "id": "r", "duration": 6.0,
+        "best_track": {"start": 0.5, "end": 5.5,
+                       "tags": [{"what": "l2"}]},
+    }))
+    result = predict_on_folder(pred, folder, threshold=0.0)
+    assert result.total_files == 1
+    assert result.per_file[0]["label"] == "l2"
