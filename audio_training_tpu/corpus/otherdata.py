@@ -293,3 +293,32 @@ def make_noise_mixed_copies(
                 )
             n += 1
     return n
+
+
+def redo_csv(
+    csv_in: str | Path,
+    audio_dir: str | Path,
+    csv_out: str | Path,
+    duration_insert_at: int = 3,
+) -> int:
+    """Repair a badly-made corpus CSV (otherdata.redo_csv,
+    otherdata.py:357-376): resolve each row's audio path against
+    ``audio_dir``, probe the real duration and insert it as a new column.
+    Rows whose audio is missing raise, like the reference ("FAILED")."""
+    audio_dir = Path(audio_dir)
+    n = 0
+    with open(csv_in, newline="") as fin, \
+            open(csv_out, "w", newline="") as fout:
+        reader = csv.reader(fin, delimiter=",", quotechar="|")
+        writer = csv.writer(fout, delimiter=",", quotechar="|")
+        writer.writerow(next(reader))  # header passes through
+        for row in reader:
+            audio_file = audio_dir / row[0]
+            if not audio_file.exists():
+                raise FileNotFoundError(f"missing audio for row: {row}")
+            frames, sr = load_recording(audio_file, target_sr=None)
+            row[0] = str(audio_file)
+            row.insert(duration_insert_at, len(frames) / sr)
+            writer.writerow(row)
+            n += 1
+    return n

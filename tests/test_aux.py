@@ -462,3 +462,22 @@ def test_plot_track_rms(tmp_path):
     assert process_rms(tmp_path / "p.txt", target_sr=SR)
     written = plot_track_rms(tmp_path / "p.txt", tmp_path / "plots")
     assert len(written) == 1 and written[0].stat().st_size > 1000
+
+
+def test_redo_csv(tmp_path):
+    from audio_training_tpu.corpus.otherdata import redo_csv
+
+    audio_dir = tmp_path / "a"; audio_dir.mkdir()
+    tone_wav(audio_dir / "x.wav", dur=2.0)
+    src = tmp_path / "in.csv"
+    src.write_text("filename,label,quality\nx.wav,kiwi,good\n")
+    out = tmp_path / "out.csv"
+    assert redo_csv(src, audio_dir, out) == 1
+    rows = out.read_text().strip().splitlines()
+    cols = rows[1].split(",")
+    assert cols[0].endswith("x.wav") and audio_dir.name in cols[0]
+    assert abs(float(cols[3]) - 2.0) < 0.01  # duration inserted at col 3
+    # missing audio raises like the reference
+    src.write_text("filename,label,quality\nmissing.wav,kiwi,good\n")
+    with pytest.raises(FileNotFoundError):
+        redo_csv(src, audio_dir, out)
