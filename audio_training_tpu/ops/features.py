@@ -138,6 +138,46 @@ def mel_from_waveform_centered(
     )
 
 
+def raw_to_mel_dual(
+    raw: jax.Array,
+    mel_weights_a: jax.Array,
+    mel_weights_b: jax.Array,
+    sr: int = 48000,
+    params_a: tuple[int, int] = (2048, 278),
+    params_b: tuple[int, int] = (1024, 280),
+    band_a: tuple[float, float] = (0.0, 3000.0),
+    band_b: tuple[float, float] = (500.0, 15000.0),
+) -> tuple[jax.Array, jax.Array]:
+    """Two band-limited mel views for ``dual-badwinner2``
+    (tfdataset.raw_to_mel_dual, tfdataset.py:1818-1866): view A is a
+    0-3 kHz 2048/278 mel, view B a 500 Hz-15 kHz 1024/280 mel.
+
+    TPU-native deviation (documented): the reference band-limits with a
+    host-side butterworth via ``tf.numpy_function`` — a sequential IIR
+    that cannot run inside jit.  Here the band limit is applied in the
+    frequency domain by masking power-spectrum bins outside [lo, hi]
+    (brick-wall vs butterworth rolloff; the mel projection then sees the
+    same pass band).  Returns ``((B, M_a, T_a, 1), (B, M_b, T_b, 1))``.
+    """
+
+    def view(w, n_fft, hop, lo, hi):
+        spec = stft_tf_style(raw, n_fft, hop)  # (B, T, F)
+        p = spec.real**2 + spec.imag**2
+        freqs = jnp.arange(n_fft // 2 + 1) * (sr / n_fft)
+        mask = ((freqs >= lo) & (freqs <= hi)).astype(p.dtype)
+        p = p * mask[None, None, :]
+        img = jnp.einsum(
+            "mf,btf->bmt", w.astype(p.dtype), p,
+            preferred_element_type=jnp.float32,
+        )
+        return img[..., None]
+
+    return (
+        view(mel_weights_a, *params_a, *band_a),
+        view(mel_weights_b, *params_b, *band_b),
+    )
+
+
 def raw_to_mel_multi(
     raw: jax.Array,
     weight_sets: list[jax.Array],

@@ -141,3 +141,28 @@ def test_butter_bandpass_filter_passes_band():
 def test_butter_noop_when_no_cutoffs():
     x = np.ones(100, np.float32)
     np.testing.assert_array_equal(F.butter_bandpass_filter(x, 0, 0), x)
+
+
+def test_raw_to_mel_dual_views():
+    """Band-limited dual views (tfdataset.raw_to_mel_dual): geometry and
+    band masking — energy of a 4 kHz tone lands only in view B's band."""
+    import numpy as np
+
+    from audio_training_tpu.config import FeaturizerConfig
+    from audio_training_tpu.ops.features import (
+        build_mel_weights,
+        raw_to_mel_dual,
+    )
+
+    sr = 48000
+    cfg_a = FeaturizerConfig(n_fft=2048, hop_length=278)
+    cfg_b = FeaturizerConfig(n_fft=1024, hop_length=280)
+    w_a = jnp.asarray(build_mel_weights(cfg_a))
+    w_b = jnp.asarray(build_mel_weights(cfg_b))
+    t = np.arange(sr)
+    tone = np.sin(2 * np.pi * 4000 * t / sr).astype(np.float32)[None]
+    a, b = raw_to_mel_dual(jnp.asarray(tone), w_a, w_b, sr=sr)
+    assert a.shape[1] == cfg_a.n_mels and a.shape[-1] == 1
+    assert b.shape[1] == cfg_b.n_mels
+    # 4 kHz is outside view A's 0-3k band but inside view B's 0.5-15k
+    assert float(jnp.max(a)) < 1e-3 * float(jnp.max(b))
