@@ -69,6 +69,34 @@ def macro_soft_f1(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return (1.0 - soft_f1).mean()
 
 
+def macro_double_soft_f1(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Both-class soft-F1 cost: mean over labels of
+    0.5 * ((1 - softF1_pos) + (1 - softF1_neg))
+    (audiomodel.macro_double_soft_f1, audiomodel.py:2550-2580)."""
+    y = labels.astype(jnp.float32)
+    y_hat = jax.nn.sigmoid(logits)
+    tp = (y_hat * y).sum(axis=0)
+    fp = (y_hat * (1.0 - y)).sum(axis=0)
+    fn = ((1.0 - y_hat) * y).sum(axis=0)
+    tn = ((1.0 - y_hat) * (1.0 - y)).sum(axis=0)
+    f1_pos = 2.0 * tp / (2.0 * tp + fn + fp + 1e-16)
+    f1_neg = 2.0 * tn / (2.0 * tn + fn + fp + 1e-16)
+    return (0.5 * ((1.0 - f1_pos) + (1.0 - f1_neg))).mean()
+
+
+def macro_f1(probs: jax.Array, labels: jax.Array,
+             thresh: float = 0.5) -> jax.Array:
+    """Hard macro F1 at a threshold (audiomodel.macro_f1,
+    audiomodel.py:2528-2548) — an evaluation metric, not a loss."""
+    y = labels.astype(jnp.float32)
+    y_pred = (probs > thresh).astype(jnp.float32)
+    tp = (y_pred * y).sum(axis=0)
+    fp = (y_pred * (1.0 - y)).sum(axis=0)
+    fn = ((1.0 - y_pred) * y).sum(axis=0)
+    f1 = 2.0 * tp / (2.0 * tp + fn + fp + 1e-16)
+    return f1.mean()
+
+
 def focal_bce_from_logits(
     logits: jax.Array, labels: jax.Array, gamma: float = 2.0,
     alpha: float | None = None,
@@ -100,6 +128,7 @@ LOSSES = {
     "cce": cce_from_logits,
     "weighted_bce": weighted_cross_entropy_from_logits,
     "soft_f1": macro_soft_f1,
+    "double_soft_f1": macro_double_soft_f1,
     "focal": focal_bce_from_logits,
 }
 

@@ -483,3 +483,28 @@ def test_fit_recovers_from_nan_epoch(tmp_path):
     r2 = fit(state2, bad_batches, preprocess, epochs=5,
              run_dir=tmp_path / "bad", augment=False)
     assert r2.epochs_run <= 3
+
+
+def test_double_soft_f1_and_macro_f1():
+    """Both-class soft F1 cost + hard macro F1 metric
+    (audiomodel.py:2528-2580)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_training_tpu.train.losses import (
+        get_loss,
+        macro_double_soft_f1,
+        macro_f1,
+    )
+
+    y = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    perfect_logits = jnp.where(y > 0, 20.0, -20.0)
+    assert float(macro_double_soft_f1(perfect_logits, y)) < 1e-6
+    worst_logits = jnp.where(y > 0, -20.0, 20.0)
+    assert float(macro_double_soft_f1(worst_logits, y)) > 0.99
+    assert get_loss("double_soft_f1") is macro_double_soft_f1
+
+    probs = jnp.asarray([[0.9, 0.1], [0.2, 0.8], [0.7, 0.6]])
+    # label 0: tp=2 fp=0 fn=0 -> f1=1; label 1: tp=2 fp=0 fn=0 -> f1=1
+    assert float(macro_f1(probs, y)) == pytest.approx(1.0)
+    assert float(macro_f1(1.0 - probs, y)) == pytest.approx(0.0)
