@@ -102,9 +102,15 @@ def process_recording(
     cfg: FeaturizerConfig,
     store_spectrogram: bool = False,
     check_duration: bool = True,
+    embedder=None,
 ) -> list[bytes]:
     """Decode one recording and serialize its samples
-    (audiowriter.process_job + save_data, audiowriter.py:239-311,360-488)."""
+    (audiowriter.process_job + save_data, audiowriter.py:239-311,360-488).
+
+    ``embedder`` (an ``infer.embeddings.EmbeddingModel``, e.g. a local
+    Perch saved model) stores one embedding vector per sample — the
+    reference's DO_EMBEDDING path (audiowriter.py:212,248-253,440-453),
+    which reached tensorflow_hub instead."""
     frames, sr = load_recording(rec.filename, target_sr=cfg.sr)
     if check_duration:
         probed = probe_duration(rec.filename)
@@ -142,14 +148,22 @@ def process_recording(
             spectogram=data.spectogram,
             mixed_label=sample.mixed_label,
         )
+        if embedder is not None and embedder.available:
+            from audio_training_tpu.corpus.audioio import resample
+
+            record.embeddings = embedder.embed_window(
+                resample(data.raw, sr, embedder.sample_rate)
+            )
         out.append(encode_sample(record))
     return out
 
 
 def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
-            shards_per_worker: int, store_spectrogram: bool):
+            shards_per_worker: int, store_spectrogram: bool,
+            embedding_model: str | None = None):
     """One writer process: round-robin over its own shard files
     (audiowriter.py:239-311)."""
+    embedder = _make_embedder(embedding_model)
     writers = [
         TFRecordWriter(out_dir / f"{worker_i:02d}-{s}.tfrecord")
         for s in range(shards_per_worker)
@@ -161,7 +175,8 @@ def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
             break
         try:
             for record in process_recording(
-                rec, cfg, store_spectrogram=store_spectrogram
+                rec, cfg, store_spectrogram=store_spectrogram,
+                embedder=embedder,
             ):
                 writers[i % shards_per_worker].write(record)
                 i += 1
@@ -169,6 +184,18 @@ def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
             log.error("error processing %s", rec.filename, exc_info=True)
     for w in writers:
         w.close()
+
+
+def _make_embedder(embedding_model: str | None):
+    if not embedding_model:
+        return None
+    from audio_training_tpu.infer.embeddings import PerchModel
+
+    embedder = PerchModel(embedding_model)
+    if not embedder.available:
+        log.error("embedding model not loadable: %s", embedding_model)
+        return None
+    return embedder
 
 
 def create_tf_records(
@@ -179,9 +206,12 @@ def create_tf_records(
     shards_per_worker: int = 4,
     cfg: FeaturizerConfig | None = None,
     store_spectrogram: bool = False,
+    embedding_model: str | None = None,
 ) -> int:
     """Write a dataset split to GZIP TFRecord shards
-    (audiowriter.create_tf_records, audiowriter.py:578-642)."""
+    (audiowriter.create_tf_records, audiowriter.py:578-642).
+    ``embedding_model``: local Perch saved-model path — stores a per-sample
+    embedding alongside the raw audio (DO_EMBEDDING parity)."""
     cfg = cfg or FeaturizerConfig()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -189,12 +219,14 @@ def create_tf_records(
 
     if num_workers <= 1:
         # in-process path (small datasets / tests)
+        embedder = _make_embedder(embedding_model)
         writer = TFRecordWriter(out_dir / "00-0.tfrecord")
         n = 0
         for rec in recs:
             try:
                 for record in process_recording(
-                    rec, cfg, store_spectrogram=store_spectrogram
+                    rec, cfg, store_spectrogram=store_spectrogram,
+                    embedder=embedder,
                 ):
                     writer.write(record)
                     n += 1
@@ -208,7 +240,7 @@ def create_tf_records(
         multiprocessing.Process(
             target=_worker,
             args=(job_queue, out_dir, w, cfg, shards_per_worker,
-                  store_spectrogram),
+                  store_spectrogram, embedding_model),
         )
         for w in range(num_workers)
     ]

@@ -234,3 +234,36 @@ def test_embeddings_run_folder_eval(perch_path, linear_probe, tmp_path):
     result = predict_on_folder(pred, folder, threshold=0.0)
     assert result.total_files == 1
     assert result.per_file[0]["label"] == "l2"
+
+
+def test_writer_stores_perch_embeddings(perch_path, tmp_path):
+    """Record-write embedding extraction (audiowriter DO_EMBEDDING,
+    audiowriter.py:212,248-253,440-453) against the local fake Perch."""
+    import json
+
+    from tests.test_corpus import CFG, NO_RMS, write_rec
+
+    from audio_training_tpu.corpus.dataset import AudioDataset
+    from audio_training_tpu.corpus.writer import create_tf_records
+    from audio_training_tpu.data.pipeline import find_shards
+    from audio_training_tpu.data.schema import decode_sample
+    from audio_training_tpu.data.tfrecord import read_tfrecords
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    write_rec(corpus_dir, "rec0",
+              [{"start": 0.5, "end": 5.5, "what": "kiwi"}],
+              duration=8.0, seed=0)
+    ds = AudioDataset("all", NO_RMS, segment_length=3.0, segment_stride=1.0)
+    ds.load_meta(corpus_dir)
+
+    out = tmp_path / "recs"
+    n = create_tf_records(ds, out, num_workers=1, cfg=CFG,
+                          embedding_model=str(perch_path))
+    assert n > 0
+    shard = find_shards(out)[0]
+    rec = next(iter(read_tfrecords(shard)))
+    d = decode_sample(rec, want_embeddings=True)
+    assert d.embeddings is not None
+    assert d.embeddings.ravel().shape == (1280,)
+    assert np.isfinite(d.embeddings).all()
