@@ -49,6 +49,10 @@ def parse_args(argv=None):
                         help="Also store the magnitude STFT per record "
                              "(byte parity with the reference; ~8x bigger)")
     parser.add_argument("--workers", default=4, type=int)
+    parser.add_argument("--embedding-model", default=None,
+                        help="Local Perch saved-model path: store a "
+                             "per-sample embedding in each record "
+                             "(audiowriter DO_EMBEDDING parity)")
     parser.add_argument("--shards-per-worker", default=4, type=int)
     return parser.parse_args(argv)
 
@@ -92,6 +96,7 @@ def main(argv=None) -> int:
             ds, out / ds.name, num_workers=args.workers,
             shards_per_worker=args.shards_per_worker, cfg=featurizer,
             store_spectrogram=bool(args.store_spectrogram),
+            embedding_model=args.embedding_model,
         )
         logging.info("Wrote %s: %s records", ds.name, n)
     write_training_meta(out, datasets, featurizer)
