@@ -49,6 +49,9 @@ def parse_args(argv=None):
                         help="Also store the magnitude STFT per record "
                              "(byte parity with the reference; ~8x bigger)")
     parser.add_argument("--workers", default=4, type=int)
+    parser.add_argument("--add-features", action="count",
+                        help="Store hand-crafted short/mid features per "
+                             "sample (audiowriter add_features parity)")
     parser.add_argument("--embedding-model", default=None,
                         help="Local Perch saved-model path: store a "
                              "per-sample embedding in each record "
@@ -97,6 +100,7 @@ def main(argv=None) -> int:
             shards_per_worker=args.shards_per_worker, cfg=featurizer,
             store_spectrogram=bool(args.store_spectrogram),
             embedding_model=args.embedding_model,
+            add_features=bool(args.add_features),
         )
         logging.info("Wrote %s: %s records", ds.name, n)
     write_training_meta(out, datasets, featurizer)

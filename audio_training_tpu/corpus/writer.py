@@ -103,6 +103,7 @@ def process_recording(
     store_spectrogram: bool = False,
     check_duration: bool = True,
     embedder=None,
+    add_features: bool = False,
 ) -> list[bytes]:
     """Decode one recording and serialize its samples
     (audiowriter.process_job + save_data, audiowriter.py:239-311,360-488).
@@ -154,13 +155,22 @@ def process_recording(
             record.embeddings = embedder.embed_window(
                 resample(data.raw, sr, embedder.sample_rate)
             )
+        if add_features:
+            # hand-crafted short/mid features (audiowriter add_features,
+            # audiowriter.py:370 + audiodataset.load_features)
+            from audio_training_tpu.corpus.features import load_features
+
+            short_f, mid_f = load_features(data.raw, sr)
+            record.short_features = short_f.astype(np.float32)
+            record.mid_features = mid_f.astype(np.float32)
         out.append(encode_sample(record))
     return out
 
 
 def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
             shards_per_worker: int, store_spectrogram: bool,
-            embedding_model: str | None = None):
+            embedding_model: str | None = None,
+            add_features: bool = False):
     """One writer process: round-robin over its own shard files
     (audiowriter.py:239-311)."""
     embedder = _make_embedder(embedding_model)
@@ -176,7 +186,7 @@ def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
         try:
             for record in process_recording(
                 rec, cfg, store_spectrogram=store_spectrogram,
-                embedder=embedder,
+                embedder=embedder, add_features=add_features,
             ):
                 writers[i % shards_per_worker].write(record)
                 i += 1
@@ -207,6 +217,7 @@ def create_tf_records(
     cfg: FeaturizerConfig | None = None,
     store_spectrogram: bool = False,
     embedding_model: str | None = None,
+    add_features: bool = False,
 ) -> int:
     """Write a dataset split to GZIP TFRecord shards
     (audiowriter.create_tf_records, audiowriter.py:578-642).
@@ -226,7 +237,7 @@ def create_tf_records(
             try:
                 for record in process_recording(
                     rec, cfg, store_spectrogram=store_spectrogram,
-                    embedder=embedder,
+                    embedder=embedder, add_features=add_features,
                 ):
                     writer.write(record)
                     n += 1
@@ -240,7 +251,7 @@ def create_tf_records(
         multiprocessing.Process(
             target=_worker,
             args=(job_queue, out_dir, w, cfg, shards_per_worker,
-                  store_spectrogram, embedding_model),
+                  store_spectrogram, embedding_model, add_features),
         )
         for w in range(num_workers)
     ]

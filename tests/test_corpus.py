@@ -293,3 +293,48 @@ def test_build_end_to_end(tmp_path, corpus):
                           CFG.samples_per_clip, loop=False)
     items = list(stream)
     assert len(items) > 10
+
+
+def test_load_features_shapes():
+    """Hand-crafted feature extraction for cnn-features/merge
+    (audiodataset.load_features): 3 s @ 48 kHz -> (68, 60) short and
+    (136, 3) mid, the shapes the reference's models consume
+    (tfdataset.py:1041-1045)."""
+    from audio_training_tpu.corpus.features import load_features
+
+    rng = np.random.default_rng(0)
+    sr = 48000
+    sig = rng.standard_normal(sr * 3).astype(np.float32)
+    short, mid = load_features(sig, sr)
+    assert short.shape == (68, 60)
+    assert mid.shape == (136, 3)
+    assert np.isfinite(short).all() and np.isfinite(mid).all()
+    # features respond to content: a tone and noise differ
+    tone = np.sin(2 * np.pi * 880 * np.arange(sr * 3) / sr).astype(np.float32)
+    short_t, _ = load_features(tone, sr)
+    assert np.abs(short_t - short).max() > 0.01
+
+
+def test_writer_add_features(tmp_path, corpus):
+    """add_features stores the (68, T)/(136, T) hand-crafted features in
+    each record (audiowriter.py:136-142,370)."""
+    from audio_training_tpu.data.pipeline import find_shards
+    from audio_training_tpu.data.schema import decode_sample
+    from audio_training_tpu.data.tfrecord import read_tfrecords
+
+    small = AudioDataset("small", NO_RMS, segment_length=3.0,
+                         segment_stride=1.0)
+    rec = next(iter(corpus.recs.values()))
+    small.add_recording(rec)
+    small.samples = list(rec.samples)[:2]
+    rec_samples, rec.samples = rec.samples, small.samples
+    out = tmp_path / "feat-recs"
+    n = create_tf_records(small, out, num_workers=1, cfg=CFG,
+                          add_features=True)
+    rec.samples = rec_samples
+    assert n > 0
+    shard = find_shards(out)[0]
+    d = decode_sample(next(iter(read_tfrecords(shard))), want_features=True)
+    assert d.short_features is not None and d.mid_features is not None
+    assert d.short_features.reshape(68, -1).shape[0] == 68
+    assert d.mid_features.reshape(136, -1).shape[0] == 136
