@@ -98,3 +98,55 @@ def resample_per_label(
         out.extend(pool[i] for i in idx)
     rng.shuffle(out)
     return out
+
+
+SHORT_FEATURES_SHAPE = (68, 60)  # tfdataset.py:1041-1045
+MID_FEATURES_SHAPE = (136, 3)
+
+
+class FeatureStream:
+    """Decoded (short_f, mid_f, one_hot) stream for the ``cnn-features`` /
+    ``merge`` models (tfdataset.py:1041-1111 feature parsing; features
+    written by ``corpus.writer`` with ``add_features=True``)."""
+
+    def __init__(
+        self,
+        shards: list[Path],
+        label_space: LabelSpace,
+        loop: bool = False,
+        seed: int = 0,
+    ):
+        self.shards = list(shards)
+        self.space = label_space
+        self.loop = loop
+        self._tag_index = {l: i for i, l in
+                           enumerate(label_space.source_labels)}
+
+    def __iter__(self):
+        while True:
+            for shard in self.shards:
+                for rec in read_tfrecords(shard, skip_errors=True):
+                    try:
+                        s = decode_sample(rec, want_raw=False,
+                                          want_features=True)
+                    except Exception:
+                        continue
+                    if s.short_features is None or s.mid_features is None:
+                        continue
+                    try:
+                        short = np.asarray(
+                            s.short_features, np.float32
+                        ).reshape(SHORT_FEATURES_SHAPE)
+                        mid = np.asarray(
+                            s.mid_features, np.float32
+                        ).reshape(MID_FEATURES_SHAPE)
+                    except ValueError:
+                        continue
+                    ids = [self._tag_index[t] for t in s.tags
+                           if t in self._tag_index]
+                    y = self.space.one_hot(ids)
+                    if y.sum() == 0:
+                        continue
+                    yield short, mid, y
+            if not self.loop:
+                return

@@ -481,3 +481,38 @@ def test_redo_csv(tmp_path):
     src.write_text("filename,label,quality\nmissing.wav,kiwi,good\n")
     with pytest.raises(FileNotFoundError):
         redo_csv(src, audio_dir, out)
+
+
+def test_feature_stream(tmp_path):
+    """FeatureStream decodes (short, mid, y) for the cnn-features models
+    (tfdataset.py:1041-1111)."""
+    from audio_training_tpu.data.embeddings import (
+        MID_FEATURES_SHAPE,
+        SHORT_FEATURES_SHAPE,
+        FeatureStream,
+    )
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.taxonomy.labels import build_label_space
+    from audio_training_tpu.taxonomy.ontology import load_ontology
+
+    rng = np.random.default_rng(0)
+    space = build_label_space(load_ontology(), ["bird", "kiwi", "noise"])
+    recs = [
+        encode_sample(SampleRecord(
+            raw=np.zeros(0, np.float32), tags=["kiwi"], rec_id=f"r{i}",
+            short_features=rng.standard_normal(
+                SHORT_FEATURES_SHAPE).astype(np.float32),
+            mid_features=rng.standard_normal(
+                MID_FEATURES_SHAPE).astype(np.float32),
+        ))
+        for i in range(3)
+    ]
+    shard = tmp_path / "f.tfrecord"
+    write_tfrecords(shard, recs)
+    items = list(FeatureStream([shard], space))
+    assert len(items) == 3
+    short, mid, y = items[0]
+    assert short.shape == SHORT_FEATURES_SHAPE
+    assert mid.shape == MID_FEATURES_SHAPE
+    assert y.sum() >= 1
