@@ -126,6 +126,122 @@ def init_labels(
     return space, ontology, meta or {}
 
 
+def _train_vector_run(run_dir, data_dirs, split_shards, space, ontology,
+                      labels, train_cfg, cfg, spec, epochs, steps_per_epoch,
+                      data_meta) -> "TrainRunResult":
+    """Training for vector-input model families: the ``embeddings`` linear
+    probe over stored Perch vectors (tfdatasetembeddings.py pipeline) and
+    ``cnn-features``/``merge``-style hand-crafted feature towers
+    (tfdataset.py:1041-1111 feature parsing).  Streams come straight from
+    the records; no mel featurization."""
+    import itertools
+
+    from audio_training_tpu.data.embeddings import (
+        EMBEDDING_DIM,
+        MID_FEATURES_SHAPE,
+        SHORT_FEATURES_SHAPE,
+        EmbeddingStream,
+        FeatureStream,
+    )
+    from audio_training_tpu.data.pipeline import find_shards
+
+    kind = spec.inputs
+
+    def shards_for(split):
+        if split_shards is not None:
+            return list(split_shards.get(split) or [])
+        out = []
+        for d in data_dirs:
+            out.extend(find_shards(d, split))
+        return out
+
+    def make_stream(split, loop):
+        sh = shards_for(split)
+        if not sh:
+            return None
+        if kind == ("embedding",):
+            return EmbeddingStream(sh, space, loop=loop,
+                                   seed=train_cfg.seed)
+        return FeatureStream(sh, space, loop=loop, seed=train_cfg.seed)
+
+    def batches(stream):
+        it = iter(stream)
+        while True:
+            items = list(itertools.islice(it, train_cfg.batch_size))
+            if len(items) < train_cfg.batch_size:
+                return
+            y = jnp.asarray(np.stack([i[-1] for i in items]))
+            if kind == ("embedding",):
+                yield jnp.asarray(np.stack([i[0] for i in items])), y
+            else:
+                s_f = jnp.asarray(np.stack([i[0] for i in items]))
+                m_f = jnp.asarray(np.stack([i[1] for i in items]))
+                yield (s_f, m_f), y
+
+    train_stream = make_stream("train", loop=True)
+    if train_stream is None:
+        raise ValueError("no train shards found")
+    if steps_per_epoch is None:
+        n = sum(1 for _ in make_stream("train", loop=False))
+        if n == 0:
+            raise ValueError(
+                "no usable vector records in the train split — rebuild with "
+                "--embedding-model / --add-features"
+            )
+        steps_per_epoch = max(n // train_cfg.batch_size, 1)
+    train_iter = iter(batches(train_stream))
+
+    def train_batches(epoch):
+        for _ in range(steps_per_epoch):
+            try:
+                yield next(train_iter)
+            except StopIteration:
+                return
+
+    def val_batches():
+        stream = make_stream("validation", loop=False)
+        if stream is None:
+            return
+        yield from batches(stream)
+
+    identity = lambda x, y: (x, y)  # noqa: E731
+    if kind == ("embedding",):
+        example = (jnp.zeros((1, EMBEDDING_DIM), jnp.float32),)
+    else:
+        example = (
+            jnp.zeros((1, *SHORT_FEATURES_SHAPE), jnp.float32),
+            jnp.zeros((1, *MID_FEATURES_SHAPE), jnp.float32),
+        )
+    state = create_train_state(
+        spec.module, example, learning_rate=train_cfg.learning_rate,
+        seed=train_cfg.seed,
+    )
+    log.info("Model %s (vector inputs %s) has %s params",
+             train_cfg.model_name, kind, param_count(state))
+    save_metadata(
+        run_dir, train_cfg.model_name, labels, cfg, ontology,
+        loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
+        use_generic_bird=train_cfg.use_generic_bird,
+        training_data_meta={
+            k: v for k, v in data_meta.items() if k in ("counts", "type")
+        },
+    )
+    result = fit(
+        state, train_batches, identity,
+        epochs=epochs or train_cfg.epochs,
+        steps_per_epoch=steps_per_epoch,
+        val_batches=val_batches, val_preprocess=identity,
+        loss_name=train_cfg.loss, multi_label=train_cfg.multi_label,
+        run_dir=run_dir,
+        early_stop_patience=train_cfg.early_stop_patience,
+        reduce_lr_patience=train_cfg.reduce_lr_patience,
+        reduce_lr_factor=train_cfg.reduce_lr_factor,
+        seed=train_cfg.seed, augment=False,
+    )
+    return TrainRunResult(run_dir=run_dir, labels=labels,
+                          history=result.history)
+
+
 @dataclass
 class TrainRunResult:
     run_dir: Path
@@ -180,6 +296,19 @@ def train_run(
         from audio_training_tpu.parallel import batch_sharding
 
         sharding = batch_sharding(mesh)
+
+    # vector-input model families (embeddings linear probe, cnn-features)
+    # train from stored vectors, not the waveform->mel path
+    dtype0 = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
+    spec0 = build_model(
+        train_cfg.model_name, num_labels=len(labels),
+        multi_label=train_cfg.multi_label, logits_only=True, dtype=dtype0,
+    )
+    if spec0.inputs != ("mel",):
+        return _train_vector_run(
+            run_dir, data_dirs, split_shards, space, ontology, labels,
+            train_cfg, cfg, spec0, epochs, steps_per_epoch, data_meta,
+        )
 
     channels = cfg.channels
     pre_train = make_preprocess_fn(
@@ -329,11 +458,7 @@ def train_run(
         geo_masks = build_geo_masks(labels, ontology.all_birds)
 
     # model
-    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
-    spec = build_model(
-        train_cfg.model_name, num_labels=len(labels),
-        multi_label=train_cfg.multi_label, logits_only=True, dtype=dtype,
-    )
+    spec = spec0
     mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, channels), jnp.float32)
     state = create_train_state(
         spec.module, (mel0,), learning_rate=train_cfg.learning_rate,

@@ -133,9 +133,11 @@ def make_train_step(
     def step(state: TrainState, metrics, mel, y, dropout_key, possible=None,
              latlng=None):
         def forward(params, mel):
+            # multi-input models (merge / cnn-features) receive a tuple
+            inputs = mel if isinstance(mel, tuple) else (mel,)
             return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                mel,
+                *inputs,
                 train=True,
                 rngs={"dropout": dropout_key},
                 mutable=["batch_stats"],
@@ -187,9 +189,10 @@ def make_eval_step(
     loss_fn = get_loss(loss_name)
 
     def step(state: TrainState, metrics, mel, y, possible=None, latlng=None):
+        inputs = mel if isinstance(mel, tuple) else (mel,)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            mel,
+            *inputs,
             train=False,
         )
         if loss_name == "weighted_bce":

@@ -99,3 +99,110 @@ def test_graft_entry_fn_compiles_cpu():
     fn, args = ge.entry()
     out = fn(*args)
     assert out.shape == (8, 62)
+
+
+def test_train_run_embeddings_model(tmp_path):
+    """train_run routes the 'embeddings' linear probe through the stored-
+    vector path (tfdatasetembeddings.py pipeline parity): no mel
+    featurization, trains and checkpoints end-to-end."""
+    import json
+
+    import numpy as np
+
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.train.harness import train_run
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "training-data"
+    labels = ["kiwi", "morepork", "rain"]
+    for split, n in (("train", 24), ("validation", 8)):
+        recs = []
+        for i in range(n):
+            tag = labels[i % 3]
+            # label-correlated embeddings so the probe can actually learn
+            emb = rng.standard_normal(1280).astype(np.float32) * 0.1
+            emb[labels.index(tag)] += 3.0
+            recs.append(encode_sample(SampleRecord(
+                raw=np.zeros(0, np.float32), tags=[tag],
+                rec_id=f"{split}{i}", embeddings=emb,
+            )))
+        write_tfrecords(data / split / "00.tfrecord", recs)
+    (data / "training-meta.json").write_text(json.dumps({
+        "labels": labels, "type": "audio",
+        "counts": {"train": {
+            "sample_counts": {l: 8 for l in labels},
+            "rec_counts": {l: 8 for l in labels},
+        }, "validation": {
+            "sample_counts": {l: 3 for l in labels},
+            "rec_counts": {l: 3 for l in labels},
+        }},
+    }))
+
+    cfg = TrainConfig(model_name="embeddings", batch_size=8,
+                      learning_rate=0.05, epochs=3)
+    result = train_run(
+        [data], "embrun", checkpoint_root=tmp_path / "ckpt",
+        train_cfg=cfg, featurizer=FeaturizerConfig(), epochs=3,
+    )
+    assert len(result.history["loss"]) == 3
+    assert result.history["loss"][-1] < result.history["loss"][0]
+    assert "val_loss" in result.history
+    assert (result.run_dir / "metadata.txt").exists()
+    assert (result.run_dir / "chkpt").exists()
+
+
+def test_train_run_cnn_features_model(tmp_path):
+    """train_run routes 'cnn-features' through the FeatureStream path with
+    tuple model inputs (tfdataset.py:1041-1111 parity)."""
+    import json
+
+    import numpy as np
+
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.data.embeddings import (
+        MID_FEATURES_SHAPE,
+        SHORT_FEATURES_SHAPE,
+    )
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.train.harness import train_run
+
+    rng = np.random.default_rng(1)
+    data = tmp_path / "training-data"
+    labels = ["kiwi", "rain"]
+    for split, n in (("train", 16), ("validation", 8)):
+        recs = []
+        for i in range(n):
+            tag = labels[i % 2]
+            short = rng.standard_normal(SHORT_FEATURES_SHAPE).astype(
+                np.float32) * 0.1
+            short += 2.0 * (1 if tag == "kiwi" else -1)
+            mid = rng.standard_normal(MID_FEATURES_SHAPE).astype(np.float32)
+            recs.append(encode_sample(SampleRecord(
+                raw=np.zeros(0, np.float32), tags=[tag],
+                rec_id=f"{split}{i}", short_features=short,
+                mid_features=mid,
+            )))
+        write_tfrecords(data / split / "00.tfrecord", recs)
+    (data / "training-meta.json").write_text(json.dumps({
+        "labels": labels, "type": "audio",
+        "counts": {"train": {
+            "sample_counts": {l: 8 for l in labels},
+            "rec_counts": {l: 8 for l in labels},
+        }, "validation": {
+            "sample_counts": {l: 4 for l in labels},
+            "rec_counts": {l: 4 for l in labels},
+        }},
+    }))
+
+    cfg = TrainConfig(model_name="cnn-features", batch_size=8,
+                      learning_rate=0.01, epochs=2)
+    result = train_run(
+        [data], "featrun", checkpoint_root=tmp_path / "ckpt",
+        train_cfg=cfg, featurizer=FeaturizerConfig(), epochs=2,
+    )
+    assert len(result.history["loss"]) == 2
+    assert np.isfinite(result.history["loss"]).all()
+    assert (result.run_dir / "chkpt").exists()
