@@ -726,3 +726,70 @@ def cross_fold_train(
         ))
         results.append(result)
     return results
+
+
+def train_random_forest(
+    data_dirs: list[str | Path],
+    run_name: str,
+    checkpoint_root: str | Path = "./checkpoints",
+    train_cfg: TrainConfig | None = None,
+    ontology: Ontology | None = None,
+    **rf_kwargs,
+) -> TrainRunResult:
+    """``rf-features``: fit a random forest on flattened short+mid
+    hand-crafted features (audiomodel.py:766-769 builds a ydf
+    RandomForestLearner; tf_to_ydf flattens the dataset,
+    audiomodel.py:2790-2803).  sklearn stands in for ydf (not bundled);
+    the model pickles into the run dir with accuracy in metadata."""
+    import pickle
+
+    from audio_training_tpu.data.embeddings import FeatureStream
+    from audio_training_tpu.data.pipeline import find_shards
+    from audio_training_tpu.models.registry import build_random_forest
+
+    train_cfg = train_cfg or TrainConfig(model_name="rf-features")
+    run_dir = Path(checkpoint_root) / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    data_dirs = [Path(d) for d in data_dirs]
+    space, ontology, data_meta = init_labels(
+        data_dirs, ontology, use_generic_bird=train_cfg.use_generic_bird,
+    )
+    labels = list(space.labels)
+
+    def xy(split):
+        shards = []
+        for d in data_dirs:
+            shards.extend(find_shards(d, split))
+        xs, ys = [], []
+        for short, mid, y in FeatureStream(shards, space):
+            xs.append(np.concatenate([short.ravel(), mid.ravel()]))
+            ys.append(y)
+        if not xs:
+            return None, None
+        return np.stack(xs), np.stack(ys)
+
+    x_train, y_train = xy("train")
+    if x_train is None:
+        raise ValueError(
+            "no feature records in the train split — rebuild with "
+            "--add-features"
+        )
+    rf = build_random_forest(random_state=train_cfg.seed, **rf_kwargs)
+    rf.fit(x_train, y_train)
+    history: dict = {"train_accuracy": [float(rf.score(x_train, y_train))]}
+    x_val, y_val = xy("validation")
+    if x_val is not None:
+        history["val_accuracy"] = [float(rf.score(x_val, y_val))]
+    with (run_dir / "random_forest.pkl").open("wb") as f:
+        pickle.dump({"model": rf, "labels": labels}, f)
+    save_metadata(
+        run_dir, "rf-features", labels,
+        FeaturizerConfig(), ontology,
+        multi_label=train_cfg.multi_label,
+        training_data_meta={
+            k: v for k, v in data_meta.items() if k in ("counts", "type")
+        },
+        extra={"rf_history": history},
+    )
+    log.info("random forest trained: %s", history)
+    return TrainRunResult(run_dir=run_dir, labels=labels, history=history)

@@ -206,3 +206,56 @@ def test_train_run_cnn_features_model(tmp_path):
     assert len(result.history["loss"]) == 2
     assert np.isfinite(result.history["loss"]).all()
     assert (result.run_dir / "chkpt").exists()
+
+
+def test_train_random_forest(tmp_path):
+    """rf-features: random forest over flattened hand-crafted features
+    (audiomodel.py:766-769 + tf_to_ydf)."""
+    import json
+
+    import numpy as np
+
+    from audio_training_tpu.config import TrainConfig
+    from audio_training_tpu.data.embeddings import (
+        MID_FEATURES_SHAPE,
+        SHORT_FEATURES_SHAPE,
+    )
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.train.harness import train_random_forest
+
+    rng = np.random.default_rng(2)
+    data = tmp_path / "training-data"
+    labels = ["kiwi", "rain"]
+    for split, n in (("train", 20), ("validation", 8)):
+        recs = []
+        for i in range(n):
+            tag = labels[i % 2]
+            short = rng.standard_normal(SHORT_FEATURES_SHAPE).astype(
+                np.float32) * 0.1 + (2.0 if tag == "kiwi" else -2.0)
+            recs.append(encode_sample(SampleRecord(
+                raw=np.zeros(0, np.float32), tags=[tag],
+                rec_id=f"{split}{i}", short_features=short,
+                mid_features=rng.standard_normal(
+                    MID_FEATURES_SHAPE).astype(np.float32),
+            )))
+        write_tfrecords(data / split / "00.tfrecord", recs)
+    (data / "training-meta.json").write_text(json.dumps({
+        "labels": labels, "type": "audio",
+        "counts": {"train": {
+            "sample_counts": {l: 10 for l in labels},
+            "rec_counts": {l: 10 for l in labels},
+        }, "validation": {
+            "sample_counts": {l: 4 for l in labels},
+            "rec_counts": {l: 4 for l in labels},
+        }},
+    }))
+
+    result = train_random_forest(
+        [data], "rfrun", checkpoint_root=tmp_path / "ckpt",
+        train_cfg=TrainConfig(model_name="rf-features"), n_estimators=20,
+    )
+    assert result.history["train_accuracy"][0] > 0.9  # separable
+    assert result.history["val_accuracy"][0] > 0.9
+    assert (result.run_dir / "random_forest.pkl").exists()
+    assert (result.run_dir / "metadata.txt").exists()
