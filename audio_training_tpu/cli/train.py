@@ -107,6 +107,16 @@ def main(argv=None) -> int:
         morepork_model=args.morepork_model,
         weights=args.weights,
     )
+    if train_cfg.model_name == "rf-features":
+        from audio_training_tpu.train.harness import train_random_forest
+
+        result = train_random_forest(
+            data_dirs, args.name, checkpoint_root=args.checkpoint_dir,
+            train_cfg=train_cfg,
+        )
+        logging.info("Random forest complete: %s %s", result.run_dir,
+                     result.history)
+        return 0
     if args.cross:
         results = cross_fold_train(run_name=args.name, **common)
         for r in results:
