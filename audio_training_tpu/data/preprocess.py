@@ -30,20 +30,53 @@ def make_preprocess_fn(
     single_label_mix: bool = True,
     use_spec_augment: bool = False,
     channels: int = 1,
+    dual: bool = False,
 ) -> Callable:
     """Build the jit-compiled (raw, y[, raw2, y2], key) -> (mel, y) map.
 
     Augmented path order matches get_dataset (tfdataset.py:466-505):
     mixup(alpha=0.5) -> per-sample waveform min-max normalize -> raw->mel.
+
+    ``dual=True`` emits the dual-badwinner2 input pair instead of one mel
+    image: two band-limited views at the reference's geometries
+    (tfdataset.raw_to_mel_dual, tfdataset.py:1818-1866 — see
+    ops.features.raw_to_mel_dual for the band-limit implementation note).
     """
     from audio_training_tpu.ops.featurizer_select import make_mel_fn
 
-    # matmul-FFT when n_fft=4096, else rfft; training uses the fast (bf16
-    # MXU) DFT precision — mixup/augmentation noise dwarfs its ~2e-3 error —
-    # while eval batches stay fp32-faithful
-    mel_fn = make_mel_fn(cfg, precision="default" if augment else "highest")
+    if dual:
+        from audio_training_tpu.ops.features import (
+            build_mel_weights,
+            raw_to_mel_dual,
+        )
+
+        cfg_a = FeaturizerConfig(
+            sr=cfg.sr, segment_length=cfg.segment_length,
+            segment_stride=cfg.segment_stride, n_fft=2048, hop_length=278,
+            n_mels=cfg.n_mels, break_freq=cfg.break_freq, fmin=cfg.fmin,
+            fmax=min(cfg.fmax, 3000.0),
+        )
+        cfg_b = FeaturizerConfig(
+            sr=cfg.sr, segment_length=cfg.segment_length,
+            segment_stride=cfg.segment_stride, n_fft=1024, hop_length=280,
+            n_mels=cfg.n_mels, break_freq=cfg.break_freq,
+            fmin=max(cfg.fmin, 500.0), fmax=cfg.fmax,
+        )
+        w_a = jnp.asarray(build_mel_weights(cfg_a))
+        w_b = jnp.asarray(build_mel_weights(cfg_b))
+
+        def mel_fn(raw):
+            return raw_to_mel_dual(raw, w_a, w_b, sr=cfg.sr)
+    else:
+        # matmul-FFT when n_fft=4096, else rfft; training uses the fast
+        # (bf16 MXU) DFT precision — mixup/augmentation noise dwarfs its
+        # ~2e-3 error — while eval batches stay fp32-faithful
+        mel_fn = make_mel_fn(cfg,
+                             precision="default" if augment else "highest")
 
     def to_image(raw):
+        if dual:
+            return mel_fn(raw)  # (view_a, view_b) images
         mel = mel_fn(raw)  # (B, M, T)
         if cfg.db_scale:
             # per-sample dB (matches the inference featurizer; see
@@ -74,7 +107,7 @@ def make_preprocess_fn(
             )
             mixed = normalize_rows(mixed)
             mel = to_image(mixed)
-            if use_spec_augment:
+            if use_spec_augment and not dual:
                 mel = spec_augment(k2, mel)
             return mel, y
 

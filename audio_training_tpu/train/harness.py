@@ -304,7 +304,14 @@ def train_run(
         train_cfg.model_name, num_labels=len(labels),
         multi_label=train_cfg.multi_label, logits_only=True, dtype=dtype0,
     )
-    if spec0.inputs != ("mel",):
+    dual = spec0.inputs == ("mel", "mel2")
+    if spec0.inputs not in (("mel",), ("mel", "mel2")):
+        if "mel" in spec0.inputs:
+            raise ValueError(
+                f"model {train_cfg.model_name!r} mixes mel and feature "
+                "inputs; build composite runs from the trained parts "
+                "(reference trains it the same piecemeal way)"
+            )
         return _train_vector_run(
             run_dir, data_dirs, split_shards, space, ontology, labels,
             train_cfg, cfg, spec0, epochs, steps_per_epoch, data_meta,
@@ -313,9 +320,10 @@ def train_run(
     channels = cfg.channels
     pre_train = make_preprocess_fn(
         cfg, augment=True, mixup_alpha=train_cfg.mixup_alpha,
-        mixup_chance=train_cfg.mixup_chance, channels=channels,
+        mixup_chance=train_cfg.mixup_chance, channels=channels, dual=dual,
     )
-    pre_eval = make_preprocess_fn(cfg, augment=False, channels=channels)
+    pre_eval = make_preprocess_fn(cfg, augment=False, channels=channels,
+                                  dual=dual)
 
     # the geo-aware weighted_bce needs per-sample GPS in every batch
     # (tfdataset.py:1188-1212)
@@ -459,9 +467,15 @@ def train_run(
 
     # model
     spec = spec0
-    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, channels), jnp.float32)
+    if dual:
+        raw0 = jnp.zeros((1, cfg.samples_per_clip), jnp.float32)
+        example_inputs, _ = pre_eval(raw0, jnp.zeros((1, len(labels))))
+    else:
+        mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, channels),
+                         jnp.float32)
+        example_inputs = (mel0,)
     state = create_train_state(
-        spec.module, (mel0,), learning_rate=train_cfg.learning_rate,
+        spec.module, example_inputs, learning_rate=train_cfg.learning_rate,
         seed=train_cfg.seed,
     )
     if weights is not None:

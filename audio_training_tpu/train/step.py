@@ -219,9 +219,10 @@ def make_predict_fn(multi_label: bool = True) -> Callable:
 
     @jax.jit
     def predict(state: TrainState, mel):
+        inputs = mel if isinstance(mel, tuple) else (mel,)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            mel,
+            *inputs,
             train=False,
         )
         return jax.nn.sigmoid(logits) if multi_label else jax.nn.softmax(logits)

@@ -259,3 +259,79 @@ def test_train_random_forest(tmp_path):
     assert result.history["val_accuracy"][0] > 0.9
     assert (result.run_dir / "random_forest.pkl").exists()
     assert (result.run_dir / "metadata.txt").exists()
+
+
+def test_train_run_dual_badwinner2(tmp_path, small_corpus_dataset=None):
+    """dual-badwinner2 trains end-to-end through the two-view preprocess
+    (tfdataset.raw_to_mel_dual parity)."""
+    import json
+
+    import numpy as np
+
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.train.harness import train_run
+
+    rng = np.random.default_rng(3)
+    # 5 s clips: the dual views' fixed hops (278/280) need enough frames
+    # for badwinner2's (1,9) head conv after the pools
+    sr, spc = 8000, 8000 * 5
+    data = tmp_path / "training-data"
+    labels = ["kiwi", "rain"]
+    for split, n in (("train", 8), ("validation", 4)):
+        recs = []
+        for i in range(n):
+            tag = labels[i % 2]
+            raw = (0.1 * rng.standard_normal(spc)).astype(np.float32)
+            recs.append(encode_sample(SampleRecord(
+                raw=raw, tags=[tag], rec_id=f"{split}{i}", sr=sr,
+            )))
+        write_tfrecords(data / split / "00.tfrecord", recs)
+    (data / "training-meta.json").write_text(json.dumps({
+        "labels": labels, "type": "audio",
+        "counts": {"train": {
+            "sample_counts": {l: 4 for l in labels},
+            "rec_counts": {l: 4 for l in labels},
+        }, "validation": {
+            "sample_counts": {l: 2 for l in labels},
+            "rec_counts": {l: 2 for l in labels},
+        }},
+    }))
+
+    cfg = TrainConfig(model_name="dual-badwinner2", batch_size=4,
+                      learning_rate=1e-3, epochs=1,
+                      compute_dtype="float32")
+    fz = FeaturizerConfig(sr=sr, n_fft=512, hop_length=100, n_mels=96,
+                          fmin=100, fmax=3500, segment_length=5.0)
+    result = train_run(
+        [data], "dualrun", checkpoint_root=tmp_path / "ckpt",
+        train_cfg=cfg, featurizer=fz, epochs=1, steps_per_epoch=2,
+        confusion=False,
+    )
+    assert len(result.history["loss"]) == 1
+    assert np.isfinite(result.history["loss"]).all()
+
+
+def test_train_run_merge_model_rejected(tmp_path):
+    """'merge' mixes mel and feature inputs; train_run refuses with a clear
+    error instead of silently mis-routing."""
+    import json
+
+    import pytest as _pytest
+
+    from audio_training_tpu.config import TrainConfig
+    from audio_training_tpu.train.harness import train_run
+
+    data = tmp_path / "training-data"
+    data.mkdir(parents=True)
+    (data / "training-meta.json").write_text(json.dumps({
+        "labels": ["kiwi"], "type": "audio",
+        "counts": {"train": {"sample_counts": {"kiwi": 1},
+                             "rec_counts": {"kiwi": 1}},
+                   "validation": {"sample_counts": {"kiwi": 1},
+                                  "rec_counts": {"kiwi": 1}}},
+    }))
+    with _pytest.raises(ValueError, match="mixes mel and feature"):
+        train_run([data], "mergerun", checkpoint_root=tmp_path / "ckpt",
+                  train_cfg=TrainConfig(model_name="merge"))
