@@ -370,8 +370,13 @@ def analyze_rms(metadata_file: str | Path,
     for t in meta.get("Tracks", []):
         tags = {tag.get("what") for tag in t.get("tags", [])
                 if tag.get("what")}
-        if not tags or "bird_rms" not in t or "upper_rms" not in t:
+        if not tags or any(k not in t for k in
+                           ("bird_rms", "noise_rms", "upper_rms")):
             continue
+        # the enrichment records the geometry it analyzed at
+        # (add_rms_data_to_tracks writes rms_sr/rms_hop_length)
+        sr = int(t.get("rms_sr", 48000))
+        hop = int(t.get("rms_hop_length", 281))
         upper_peaks, _ = scipy.signal.find_peaks(
             np.asarray(t["upper_rms"], np.float64),
             threshold=rms_thresh / 10, height=rms_height / 10, width=2,
@@ -391,18 +396,18 @@ def analyze_rms(metadata_file: str | Path,
             noise, threshold=rms_thresh, height=rms_height, width=2
         )
         remove_rms_noise(rms, rms_peaks, rms_meta, noise_peaks, noise_meta,
-                         upper_peaks)
+                         upper_peaks, sr=sr, hop_length=hop)
         mean = float(np.mean(rms))
         std = float(np.std(rms))
         pct = std / mean if mean else 0.0
-        best_offset, best_sum = best_rms(rms)
+        best_offset, best_sum = best_rms(rms, sr=sr, hop_length=hop)
         out.append({
             "track_id": t.get("id"),
             "tags": sorted(tags),
             "used": "bird_rms" if bird else "noise_rms",
             "stddev_percent": pct,
             "low_stddev": pct < min_stddev_percent,
-            "best_offset_s": round(best_offset * 281 / 48000, 2),
+            "best_offset_s": round(best_offset * hop / sr, 2),
             "best_sum": float(best_sum),
         })
     return out

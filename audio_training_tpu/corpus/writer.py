@@ -122,6 +122,7 @@ def process_recording(
                 f"vs decoded {loaded:.1f}s"
             )
     out = []
+    pending_embed: list = []
     for sample in rec.samples:
         try:
             data = load_data(cfg, sample.start, frames, sr,
@@ -150,11 +151,7 @@ def process_recording(
             mixed_label=sample.mixed_label,
         )
         if embedder is not None and embedder.available:
-            from audio_training_tpu.corpus.audioio import resample
-
-            record.embeddings = embedder.embed_window(
-                resample(data.raw, sr, embedder.sample_rate)
-            )
+            pending_embed.append((record, data.raw))
         if add_features:
             # hand-crafted short/mid features (audiowriter add_features,
             # audiowriter.py:370 + audiodataset.load_features)
@@ -163,8 +160,28 @@ def process_recording(
             short_f, mid_f = load_features(data.raw, sr)
             record.short_features = short_f.astype(np.float32)
             record.mid_features = mid_f.astype(np.float32)
-        out.append(encode_sample(record))
-    return out
+        out.append(record)
+    if pending_embed:
+        # ONE batched saved-model call per recording (per-sample calls pay
+        # TF dispatch ~n_samples times)
+        from audio_training_tpu.corpus.audioio import resample
+
+        need = int(embedder.WINDOW_S * embedder.sample_rate) \
+            if hasattr(embedder, "WINDOW_S") else None
+        windows = []
+        for _, raw in pending_embed:
+            w = resample(raw, sr, embedder.sample_rate)
+            if need is not None:
+                w = np.pad(w, (0, max(need - len(w), 0)))[:need]
+            windows.append(w)
+        if need is not None:
+            embs, _ = embedder.embed(np.concatenate(windows))
+            for (record, _), e in zip(pending_embed, embs):
+                record.embeddings = e
+        else:
+            for record, w in pending_embed:
+                record.embeddings = embedder.embed_window(w)
+    return [encode_sample(r) for r in out]
 
 
 def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,

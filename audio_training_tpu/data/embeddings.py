@@ -27,7 +27,10 @@ def load_znorm(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
 
 class EmbeddingStream:
     """Decoded (embedding, one_hot) stream (tfdatasetembeddings.get_dataset /
-    read_tfrecord, tfdatasetembeddings.py:239,453)."""
+    read_tfrecord, tfdatasetembeddings.py:239,453).  Shard order and
+    within-shard item order reshuffle every pass (the reference pipeline
+    shuffles; label-grouped shards would otherwise yield near-single-class
+    batches)."""
 
     def __init__(
         self,
@@ -36,19 +39,31 @@ class EmbeddingStream:
         znorm: tuple[np.ndarray, np.ndarray] | None = None,
         loop: bool = False,
         seed: int = 0,
+        shuffle: bool = True,
     ):
         self.shards = list(shards)
         self.space = label_space
         self.znorm = znorm
         self.loop = loop
+        self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self._tag_index = {l: i for i, l in
                            enumerate(label_space.source_labels)}
 
+    def _shard_items(self, shard):
+        items = list(read_tfrecords(shard, skip_errors=True))
+        if self.shuffle:
+            self.rng.shuffle(items)
+        return items
+
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         while True:
-            for shard in self.shards:
-                for rec in read_tfrecords(shard, skip_errors=True):
+            n_yielded = 0
+            order = list(self.shards)
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for shard in order:
+                for rec in self._shard_items(shard):
                     try:
                         s = decode_sample(rec, want_raw=False,
                                           want_embeddings=True)
@@ -71,9 +86,10 @@ class EmbeddingStream:
                     y = self.space.one_hot(ids)
                     if y.sum() == 0:
                         continue
+                    n_yielded += 1
                     yield emb, y
-            if not self.loop:
-                return
+            if not self.loop or n_yielded == 0:
+                return  # empty pass: never busy-loop
 
 
 def resample_per_label(
@@ -100,8 +116,10 @@ def resample_per_label(
     return out
 
 
-SHORT_FEATURES_SHAPE = (68, 60)  # tfdataset.py:1041-1045
-MID_FEATURES_SHAPE = (136, 3)
+from audio_training_tpu.data.schema import (  # noqa: E402,F401
+    MID_FEATURES_SHAPE,
+    SHORT_FEATURES_SHAPE,
+)
 
 
 class FeatureStream:
@@ -115,17 +133,30 @@ class FeatureStream:
         label_space: LabelSpace,
         loop: bool = False,
         seed: int = 0,
+        shuffle: bool = True,
     ):
         self.shards = list(shards)
         self.space = label_space
         self.loop = loop
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
         self._tag_index = {l: i for i, l in
                            enumerate(label_space.source_labels)}
 
+    def _shard_items(self, shard):
+        items = list(read_tfrecords(shard, skip_errors=True))
+        if self.shuffle:
+            self.rng.shuffle(items)
+        return items
+
     def __iter__(self):
         while True:
-            for shard in self.shards:
-                for rec in read_tfrecords(shard, skip_errors=True):
+            n_yielded = 0
+            order = list(self.shards)
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for shard in order:
+                for rec in self._shard_items(shard):
                     try:
                         s = decode_sample(rec, want_raw=False,
                                           want_features=True)
@@ -147,6 +178,7 @@ class FeatureStream:
                     y = self.space.one_hot(ids)
                     if y.sum() == 0:
                         continue
+                    n_yielded += 1
                     yield short, mid, y
-            if not self.loop:
-                return
+            if not self.loop or n_yielded == 0:
+                return  # empty pass: never busy-loop

@@ -66,7 +66,15 @@ def make_preprocess_fn(
         w_b = jnp.asarray(build_mel_weights(cfg_b))
 
         def mel_fn(raw):
-            return raw_to_mel_dual(raw, w_a, w_b, sr=cfg.sr)
+            # geometry/bands passed explicitly from the SAME configs the
+            # mel weights were built from (one source of truth)
+            return raw_to_mel_dual(
+                raw, w_a, w_b, sr=cfg.sr,
+                params_a=(cfg_a.n_fft, cfg_a.hop_length),
+                params_b=(cfg_b.n_fft, cfg_b.hop_length),
+                band_a=(cfg_a.fmin, cfg_a.fmax),
+                band_b=(cfg_b.fmin, cfg_b.fmax),
+            )
     else:
         # matmul-FFT when n_fft=4096, else rfft; training uses the fast
         # (bf16 MXU) DFT precision — mixup/augmentation noise dwarfs its

@@ -20,6 +20,12 @@ from audio_training_tpu.data import example as ex
 KEY_RAW = "audio/raw"
 KEY_SPECTOGRAM = "audio/spectogram"  # reference spelling preserved
 KEY_EMBEDDING = "embedding"
+
+# hand-crafted feature-tensor contract (audiomodel.py:685-686,
+# tfdataset.py:1041-1045) — single source of truth for writer, streams
+# and the cnn-features/merge model builders
+SHORT_FEATURES_SHAPE = (68, 60)
+MID_FEATURES_SHAPE = (136, 3)
 KEY_LOGITS = "logits"
 
 

@@ -32,10 +32,11 @@ from audio_training_tpu.models.layers import (
 from audio_training_tpu.models.wr_resnet import WRResNet
 from audio_training_tpu.models.wr_resnet_bird import WRResNetBird
 
-# Short/mid audio-feature tensors used by the merge/cnn-features models
-# (audiomodel.py:685-686: shapes (68, 60) and (136, 3)).
-SHORT_FEATURES_SHAPE = (68, 60)
-MID_FEATURES_SHAPE = (136, 3)
+# Short/mid audio-feature tensor contract lives in data/schema.py
+from audio_training_tpu.data.schema import (  # noqa: F401
+    MID_FEATURES_SHAPE,
+    SHORT_FEATURES_SHAPE,
+)
 
 
 class FeatureCNN(nn.Module):

@@ -126,9 +126,37 @@ def init_labels(
     return space, ontology, meta or {}
 
 
+def _maybe_restore(state, weights, weight_labels, labels):
+    """Resume / fine-tune restore (audiomodel.py:835-857): when the label
+    sets differ the fresh head is kept (shape-mismatch merge)."""
+    if weights is None:
+        return state
+    from audio_training_tpu.train.checkpoints import (
+        restore_into,
+        restore_with_new_head,
+    )
+
+    if weight_labels is None:
+        # infer the source label set from metadata.txt beside the ckpt
+        src_meta = Path(weights).parent / "metadata.txt"
+        if src_meta.exists():
+            try:
+                weight_labels = json.loads(src_meta.read_text()).get(
+                    "ebird_labels"
+                )
+            except Exception:
+                pass
+    if weight_labels is not None and list(weight_labels) != labels:
+        log.info("Fine-tuning from %s with a new head", weights)
+        return restore_with_new_head(state, weights)
+    log.info("Resuming from %s", weights)
+    return restore_into(state, weights)
+
+
 def _train_vector_run(run_dir, data_dirs, split_shards, space, ontology,
                       labels, train_cfg, cfg, spec, epochs, steps_per_epoch,
-                      data_meta) -> "TrainRunResult":
+                      data_meta, weights=None,
+                      weight_labels=None) -> "TrainRunResult":
     """Training for vector-input model families: the ``embeddings`` linear
     probe over stored Perch vectors (tfdatasetembeddings.py pipeline) and
     ``cnn-features``/``merge``-style hand-crafted feature towers
@@ -182,7 +210,14 @@ def _train_vector_run(run_dir, data_dirs, split_shards, space, ontology,
     if train_stream is None:
         raise ValueError("no train shards found")
     if steps_per_epoch is None:
-        n = sum(1 for _ in make_stream("train", loop=False))
+        # prefer the builder's metadata counts (the mel path does the same)
+        # over an extra full decode pass
+        counts = data_meta.get("counts", {}).get("train", {}).get(
+            "sample_counts", {}
+        )
+        n = int(sum(counts.values()))
+        if not n:
+            n = sum(1 for _ in make_stream("train", loop=False))
         if n == 0:
             raise ValueError(
                 "no usable vector records in the train split — rebuild with "
@@ -216,6 +251,7 @@ def _train_vector_run(run_dir, data_dirs, split_shards, space, ontology,
         spec.module, example, learning_rate=train_cfg.learning_rate,
         seed=train_cfg.seed,
     )
+    state = _maybe_restore(state, weights, weight_labels, labels)
     log.info("Model %s (vector inputs %s) has %s params",
              train_cfg.model_name, kind, param_count(state))
     save_metadata(
@@ -315,6 +351,7 @@ def train_run(
         return _train_vector_run(
             run_dir, data_dirs, split_shards, space, ontology, labels,
             train_cfg, cfg, spec0, epochs, steps_per_epoch, data_meta,
+            weights=weights, weight_labels=weight_labels,
         )
 
     channels = cfg.channels
@@ -478,30 +515,7 @@ def train_run(
         spec.module, example_inputs, learning_rate=train_cfg.learning_rate,
         seed=train_cfg.seed,
     )
-    if weights is not None:
-        # resume / fine-tune (audiomodel.py:835-857): when the label sets
-        # differ the fresh head is kept (shape-mismatch merge)
-        from audio_training_tpu.train.checkpoints import (
-            restore_into,
-            restore_with_new_head,
-        )
-
-        if weight_labels is None:
-            # infer the source label set from metadata.txt beside the ckpt
-            src_meta = Path(weights).parent / "metadata.txt"
-            if src_meta.exists():
-                try:
-                    weight_labels = json.loads(src_meta.read_text()).get(
-                        "ebird_labels"
-                    )
-                except Exception:
-                    pass
-        if weight_labels is not None and list(weight_labels) != labels:
-            log.info("Fine-tuning from %s with a new head", weights)
-            state = restore_with_new_head(state, weights)
-        else:
-            log.info("Resuming from %s", weights)
-            state = restore_into(state, weights)
+    state = _maybe_restore(state, weights, weight_labels, labels)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
     log.info("Model %s has %s params", train_cfg.model_name,

@@ -101,6 +101,7 @@ def test_graft_entry_fn_compiles_cpu():
     assert out.shape == (8, 62)
 
 
+@pytest.mark.slow
 def test_train_run_embeddings_model(tmp_path):
     """train_run routes the 'embeddings' linear probe through the stored-
     vector path (tfdatasetembeddings.py pipeline parity): no mel
@@ -153,6 +154,7 @@ def test_train_run_embeddings_model(tmp_path):
     assert (result.run_dir / "chkpt").exists()
 
 
+@pytest.mark.slow
 def test_train_run_cnn_features_model(tmp_path):
     """train_run routes 'cnn-features' through the FeatureStream path with
     tuple model inputs (tfdataset.py:1041-1111 parity)."""
@@ -208,6 +210,7 @@ def test_train_run_cnn_features_model(tmp_path):
     assert (result.run_dir / "chkpt").exists()
 
 
+@pytest.mark.slow
 def test_train_random_forest(tmp_path):
     """rf-features: random forest over flattened hand-crafted features
     (audiomodel.py:766-769 + tf_to_ydf)."""
@@ -261,6 +264,7 @@ def test_train_random_forest(tmp_path):
     assert (result.run_dir / "metadata.txt").exists()
 
 
+@pytest.mark.slow
 def test_train_run_dual_badwinner2(tmp_path, small_corpus_dataset=None):
     """dual-badwinner2 trains end-to-end through the two-view preprocess
     (tfdataset.raw_to_mel_dual parity)."""
