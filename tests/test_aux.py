@@ -516,3 +516,39 @@ def test_feature_stream(tmp_path):
     assert short.shape == SHORT_FEATURES_SHAPE
     assert mid.shape == MID_FEATURES_SHAPE
     assert y.sum() >= 1
+
+
+def test_streams_shuffle_and_determinism(tmp_path):
+    """Embedding/Feature streams reshuffle between passes and are
+    seed-deterministic across instances."""
+    from audio_training_tpu.data.embeddings import EmbeddingStream
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.taxonomy.labels import build_label_space
+    from audio_training_tpu.taxonomy.ontology import load_ontology
+
+    space = build_label_space(load_ontology(), ["bird", "kiwi", "noise"])
+    for shard in range(3):
+        recs = [
+            encode_sample(SampleRecord(
+                raw=np.zeros(0, np.float32), tags=["kiwi"],
+                rec_id=f"s{shard}r{i}",
+                embeddings=np.full(1280, shard * 10 + i, np.float32),
+            ))
+            for i in range(4)
+        ]
+        write_tfrecords(tmp_path / f"{shard}.tfrecord", recs)
+    shards = sorted(tmp_path.glob("*.tfrecord"))
+
+    def order(stream, n):
+        import itertools
+
+        return [float(e[0][0]) for e in itertools.islice(iter(stream), n)]
+
+    a = order(EmbeddingStream(shards, space, seed=5, loop=True), 24)
+    b = order(EmbeddingStream(shards, space, seed=5, loop=True), 24)
+    assert a == b  # same seed -> same sequence
+    assert a[:12] != a[12:24]  # second pass reshuffled
+    assert sorted(a[:12]) == sorted(a[12:24])  # ... but same items
+    c = order(EmbeddingStream(shards, space, seed=9, loop=True), 12)
+    assert c != a[:12]  # different seed -> different order

@@ -127,3 +127,17 @@ def test_single_tile_arbitrary_hop(mel_w):
         assert out.shape == ref.shape
         rel = np.abs(out - ref).max() / np.abs(ref).max()
         assert rel < 1e-5, (hop, rel)
+
+
+def test_batch_one_and_odd_batch(cfg, mel_w):
+    """B=1 and odd batch sizes hit the same grid path."""
+    rng = np.random.default_rng(21)
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    for b in (1, 3):
+        raw = jnp.asarray(
+            rng.standard_normal((b, cfg.samples_per_clip)).astype(np.float32)
+        )
+        out = np.asarray(fz(raw, pcen=False, interpret=True))
+        assert out.shape == (b, cfg.n_mels, cfg.mel_frames)
+        assert np.isfinite(out).all()
