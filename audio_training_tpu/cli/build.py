@@ -38,6 +38,10 @@ def parse_args(argv=None):
                         help="Under+oversample training split")
     parser.add_argument("-m", "--mels", default=160, type=int)
     parser.add_argument("-b", "--break-freq", default=1000, type=float)
+    parser.add_argument("--sr", default=48000, type=int,
+                        help="Target sample rate; recordings are resampled "
+                             "(tfdataset.py:44 SR=48000)")
+    parser.add_argument("--n-fft", default=4096, type=int)
     parser.add_argument("--hop-length", default=281, type=int)
     parser.add_argument("--fmin", default=100, type=float)
     parser.add_argument("--fmax", default=11000, type=float)
@@ -68,6 +72,7 @@ def main(argv=None) -> int:
         filter_rms=not args.dont_filter_rms,
     )
     featurizer = FeaturizerConfig(
+        sr=args.sr, n_fft=args.n_fft,
         n_mels=args.mels, break_freq=args.break_freq,
         hop_length=args.hop_length, fmin=args.fmin, fmax=args.fmax,
         segment_length=args.seg_length, segment_stride=args.stride,

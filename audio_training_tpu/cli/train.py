@@ -39,17 +39,25 @@ def parse_args(argv=None):
                                  "focal"])
     parser.add_argument("--weighting", action="count",
                         help="Use inverse-frequency class weights")
+    parser.add_argument("--epoch-confusion", action="store_true",
+                        help="Write a validation confusion matrix artifact "
+                             "per epoch (audiomodel.log_confusion_matrix)")
     parser.add_argument("--lme", action="count")
     parser.add_argument("--only-features", action="count")
     parser.add_argument("--morepork-model", action="store_true")
     parser.add_argument("--cross", action="count", help="5-fold CV")
     parser.add_argument("-w", "--weights", default=None,
                         help="Checkpoint to fine-tune from")
-    parser.add_argument("--mels", type=int, default=160)
-    parser.add_argument("--break-freq", type=float, default=1000)
-    parser.add_argument("--n-fft", type=int, default=4096)
-    parser.add_argument("--fmin", type=float, default=100)
-    parser.add_argument("--fmax", type=float, default=11000)
+    # featurizer flags default to the dataset's training-meta.json values
+    # (the build embeds its FeaturizerConfig, corpus/split.py:323-324) so the
+    # train-time featurizer matches the shards unless explicitly overridden
+    parser.add_argument("--mels", type=int, default=None)
+    parser.add_argument("--break-freq", type=float, default=None)
+    parser.add_argument("--sr", type=int, default=None)
+    parser.add_argument("--n-fft", type=int, default=None)
+    parser.add_argument("--hop-length", type=int, default=None)
+    parser.add_argument("--fmin", type=float, default=None)
+    parser.add_argument("--fmax", type=float, default=None)
     parser.add_argument("--data-shards", type=int, default=1,
                         help="Data-parallel mesh size (chips)")
     parser.add_argument("--loader-workers", type=int, default=None,
@@ -67,20 +75,39 @@ def main(argv=None) -> int:
     from audio_training_tpu.config import config_from_dict
     from audio_training_tpu.train.harness import cross_fold_train, train_run
 
-    n_mels = args.mels
-    if args.n_fft < 2048:
+    # base featurizer: the build's config from training-meta.json where
+    # available, production defaults otherwise
+    import dataclasses
+
+    base = FeaturizerConfig()
+    meta_path = Path(args.data_dir) / "training-meta.json"
+    if meta_path.exists():
+        import json as _json
+
+        base = config_from_dict(
+            FeaturizerConfig, _json.loads(meta_path.read_text())
+        )
+    overrides = {
+        "n_mels": args.mels, "break_freq": args.break_freq, "sr": args.sr,
+        "n_fft": args.n_fft, "hop_length": args.hop_length,
+        "fmin": args.fmin, "fmax": args.fmax,
+    }
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    if (
+        "n_mels" not in overrides
+        and overrides.get("n_fft", base.n_fft) < 2048
+        and not meta_path.exists()
+    ):
         # low-nfft mel reduction (tfdataset.py:448-453)
-        n_mels = 96
-    featurizer = FeaturizerConfig(
-        n_mels=n_mels, break_freq=args.break_freq, n_fft=args.n_fft,
-        fmin=args.fmin, fmax=args.fmax,
-    )
+        overrides["n_mels"] = 96
+    featurizer = dataclasses.replace(base, **overrides)
     cfg_kwargs = dict(
         model_name=args.model_name, batch_size=args.batch_size,
         learning_rate=args.lr, epochs=args.epochs,
         multi_label=args.multi_label,
         use_generic_bird=args.use_generic_bird, loss=args.loss,
         use_weighting=bool(args.weighting),
+        epoch_confusion=args.epoch_confusion,
         num_data_shards=args.data_shards, seed=args.seed,
         loader_workers=args.loader_workers,
     )

@@ -65,6 +65,33 @@ class FeaturizerConfig:
     db_scale: bool = False
     mfcc: bool = False
 
+    def __post_init__(self) -> None:
+        # The reference silently builds empty mel filters when fmax exceeds
+        # Nyquist (custommel.mel_f warns through librosa only); a mis-set
+        # geometry then trains on half-empty images.  Fail fast instead.
+        if self.sr <= 0:
+            raise ValueError(f"sr must be positive, got {self.sr}")
+        if self.n_fft <= 0 or self.hop_length <= 0 or self.n_mels <= 0:
+            raise ValueError(
+                f"n_fft/hop_length/n_mels must be positive, got "
+                f"{self.n_fft}/{self.hop_length}/{self.n_mels}"
+            )
+        if self.hop_length >= self.n_fft:
+            raise ValueError(
+                f"hop_length ({self.hop_length}) must be smaller than "
+                f"n_fft ({self.n_fft}) — frames would skip samples"
+            )
+        if self.fmin < 0 or self.fmin >= self.fmax:
+            raise ValueError(
+                f"need 0 <= fmin < fmax, got fmin={self.fmin} "
+                f"fmax={self.fmax}"
+            )
+        if self.fmax > self.sr / 2:
+            raise ValueError(
+                f"fmax ({self.fmax}) exceeds Nyquist ({self.sr / 2}) — "
+                "the upper mel filters would be empty"
+            )
+
     @property
     def samples_per_clip(self) -> int:
         return int(round(self.sr * self.segment_length))
@@ -131,6 +158,9 @@ class TrainConfig:
     weight_max: float = 4.0
     dropout: float = 0.5
     seed: int = 0
+    # per-epoch validation confusion artifact (npy+png), the reference's
+    # TensorBoard confusion image (audiomodel.py:1262-1314)
+    epoch_confusion: bool = False
     # TPU-native additions
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

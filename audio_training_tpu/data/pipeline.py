@@ -77,6 +77,7 @@ class RecordStream:
         cache: bool = False,
         verify_crc: bool = False,
         with_latlng: bool = False,
+        with_features: bool = False,
     ):
         if not shards:
             raise ValueError("no shard files found")
@@ -95,6 +96,11 @@ class RecordStream:
         # when set, items are (raw, one_hot, [lat, lng]) — the GPS feeds the
         # NZ-box possible_labels loss weighting (tfdataset.py:1188-1212)
         self.with_latlng = with_latlng
+        # when set, items are (raw, one_hot, short_f, mid_f) for the merge
+        # model's joint training (tfdataset.py:1103-1119); records without
+        # both feature tensors are skipped, matching the reference's
+        # count_nonzero filter (tfdataset.py:283-289)
+        self.with_features = with_features
         self._cached: list[tuple[np.ndarray, np.ndarray]] | None = None
         self._tag_index = {l: i for i, l in enumerate(label_space.source_labels)}
 
@@ -107,7 +113,7 @@ class RecordStream:
 
     def _decode_one(self, rec) -> Optional[tuple[np.ndarray, np.ndarray]]:
         try:
-            s = decode_sample(rec)
+            s = decode_sample(rec, want_features=self.with_features)
         except Exception:
             return None  # ignore_errors parity (tfdataset.py:226)
         raw = s.raw
@@ -123,6 +129,17 @@ class RecordStream:
         y = self._one_hot(s.tags)
         if y is None:
             return None
+        if self.with_features:
+            short_f, mid_f = s.short_features, s.mid_features
+            if (
+                short_f is None or mid_f is None
+                or not np.count_nonzero(short_f)
+                or not np.count_nonzero(mid_f)
+                or not np.isfinite(short_f).all()
+                or not np.isfinite(mid_f).all()
+            ):
+                return None
+            return raw, y, short_f, mid_f
         if self.with_latlng:
             return raw, y, np.array([s.lat, s.lng], np.float32)
         return raw, y
@@ -255,18 +272,31 @@ class BatchLoader:
         raw = np.empty((self.batch_size, self.samples_per_clip), np.float32)
         y = np.empty((self.batch_size, self.num_labels), np.float32)
         latlng = None
+        n = 0
         for i in range(self.batch_size):
             try:
                 item = next(stream)
             except StopIteration:
-                return None  # drop remainder (fixed shapes for jit)
+                break
             raw[i] = item[0]
             y[i] = item[1]
+            n += 1
             if len(item) > 2:
                 if latlng is None:
                     latlng = np.zeros((self.batch_size, 2), np.float32)
                 latlng[i] = item[2]
-        return SampleBatch(raw, y, latlng)
+        if n == self.batch_size:
+            return SampleBatch(raw, y, latlng)
+        # Partial tail batch: Keras evaluates it (the reference batches
+        # without drop_remainder); emit it trimmed for single-stream eval
+        # passes.  Mixup training keeps fixed shapes (the partner zip drops
+        # remainders in the reference too), and a sharded batch must divide
+        # the mesh — both fall back to dropping the tail.
+        if n == 0 or self.mix_stream is not None or self.sharding is not None:
+            return None
+        return SampleBatch(
+            raw[:n], y[:n], latlng[:n] if latlng is not None else None
+        )
 
     def _put(self, arr: np.ndarray):
         if self.sharding is not None:

@@ -128,6 +128,63 @@ def make_preprocess_fn(
     return preprocess_eval
 
 
+def make_merge_preprocess_fn(
+    cfg: FeaturizerConfig,
+    augment: bool = False,
+    mixup_alpha: float = 0.5,
+    mixup_chance: float = 0.25,
+    single_label_mix: bool = True,
+) -> Callable:
+    """Preprocess for the ``merge`` model's three-input tuple
+    ``(mel, short_f, mid_f)`` (audiomodel.py:674-708; the features parse at
+    tfdataset.py:1103-1119, passed through normalize/raw_to_mel untouched,
+    tfdataset.py:1916-1934, 2052-2057).
+
+    Batches are ``((raw, short_f, mid_f), y[, partner...])``.  Under
+    augmentation one mixup lambda per sample mixes ALL THREE input tensors
+    plus the label — the joint-training extension of the reference's
+    waveform mixup (its tf.mix_up cannot consume the feature tuple; here the
+    shared-lambda mix keeps waveform and features describing the same
+    virtual clip).
+    """
+    from audio_training_tpu.ops.featurizer_select import make_mel_fn
+    from audio_training_tpu.ops.features import (
+        apply_mix,
+        mix_labels,
+        sample_mix_weights,
+    )
+
+    mel_fn = make_mel_fn(cfg, precision="default" if augment else "highest")
+
+    def to_image(raw):
+        return mel_fn(raw)[..., None]
+
+    if augment:
+
+        @jax.jit
+        def preprocess(xs, y, xs2, y2, key):
+            raw1, short1, mid1 = xs
+            raw2, short2, mid2 = xs2
+            l = sample_mix_weights(
+                key, raw1.shape[0], alpha=mixup_alpha, chance=mixup_chance
+            )
+            raw = apply_mix(l, raw1, raw2)
+            short = apply_mix(l, short1, short2)
+            mid = apply_mix(l, mid1, mid2)
+            y = mix_labels(l, y, y2, single_label=single_label_mix)
+            mel = to_image(normalize_rows(raw))
+            return (mel, short, mid), y
+
+        return preprocess
+
+    @jax.jit
+    def preprocess_eval(xs, y):
+        raw, short, mid = xs
+        return (to_image(raw), short, mid), y
+
+    return preprocess_eval
+
+
 # ---------------------------------------------------------------------------
 # Class weighting / distribution (tfdataset.py:315-338, 1721-1761)
 # ---------------------------------------------------------------------------

@@ -9,6 +9,15 @@ accept a local saved-model path when one is available, and raise clear
 errors otherwise.  Everything downstream (embedding records,
 ``data/embeddings.EmbeddingStream``, the ``embeddings`` linear-probe model)
 is fully functional on stored embeddings.
+
+Test note (validation limit): tests/test_embeddings_infer.py exercises the
+exact tf-hub call signatures against locally-built FAKE saved models — no
+real Perch/YAMNet output has flowed through ``EmbeddingPredictor`` in this
+environment (zero egress), so the numerical contract (z-norm statistics,
+logit scaling) is untested against the real checkpoints.  A future run with
+hub access should validate a handful of clips end-to-end against the
+reference's ``chirp_embeddings``/``yamn_embeddings`` outputs
+(predict.py:380-396).
 """
 
 from __future__ import annotations

@@ -226,17 +226,42 @@ def mix_up(
     label weight at 0.5 instead of soft label interpolation.
     """
     batch = images_one.shape[0]
+    l = sample_mix_weights(key, batch, alpha=alpha, chance=chance)
+    images = apply_mix(l, images_one, images_two)
+    labels = mix_labels(l, labels_one, labels_two, single_label=single_label)
+    return images, labels
+
+
+def sample_mix_weights(
+    key: jax.Array, batch: int, alpha: float = 0.5, chance: float = 0.25
+) -> jax.Array:
+    """Per-sample mixup weight: Beta(alpha, alpha) gated by ``chance``
+    (zero = take sample two unchanged, tfdataset.py:934-940)."""
     k1, k2 = jax.random.split(key)
     l = sample_beta(k1, batch, alpha)
     aug = (jax.random.uniform(k2, (batch,)) < chance).astype(l.dtype)
-    l = l * aug
-    x_l = l.reshape((batch,) + (1,) * (images_one.ndim - 1))
-    y_l = l.reshape((batch,) + (1,) * (labels_one.ndim - 1))
-    images = images_one * x_l + images_two * (1.0 - x_l)
+    return l * aug
+
+
+def apply_mix(l: jax.Array, one: jax.Array, two: jax.Array) -> jax.Array:
+    """``one * l + two * (1-l)`` with l broadcast over trailing axes.
+    Shared by the waveform mix and the merge model's feature-tensor mix
+    (one lambda per sample across all input tensors)."""
+    x_l = l.reshape((one.shape[0],) + (1,) * (one.ndim - 1))
+    return one * x_l + two * (1.0 - x_l)
+
+
+def mix_labels(
+    l: jax.Array,
+    labels_one: jax.Array,
+    labels_two: jax.Array,
+    single_label: bool = True,
+) -> jax.Array:
+    """Label mix: hard max when ``single_label`` (tfdataset.py:948-951)."""
+    y_l = l.reshape((labels_one.shape[0],) + (1,) * (labels_one.ndim - 1))
     if single_label:
         y_l = (y_l > 0.5).astype(labels_one.dtype)
-    labels = labels_one * y_l + labels_two * (1.0 - y_l)
-    return images, labels
+    return labels_one * y_l + labels_two * (1.0 - y_l)
 
 
 def spec_augment(

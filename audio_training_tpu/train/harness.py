@@ -278,6 +278,187 @@ def _train_vector_run(run_dir, data_dirs, split_shards, space, ontology,
                           history=result.history)
 
 
+def _train_merge_run(run_dir, data_dirs, split_shards, space, ontology,
+                     labels, train_cfg, cfg, spec, epochs, steps_per_epoch,
+                     data_meta, weights=None, weight_labels=None,
+                     confusion=True) -> "TrainRunResult":
+    """Joint end-to-end training of the ``merge`` model (audiomodel.py:674-708:
+    badwinner2 mel tower + short_f (68,60) + mid_f (136,3) feature towers,
+    concat -> Dense, trained as ONE model by model.fit).
+
+    Streams ``(raw, y, short_f, mid_f)`` straight from the feature-bearing
+    records (tfdataset.py:1103-1119); the device preprocess mixes all three
+    input tensors with one shared lambda and featurizes the waveform
+    (data.preprocess.make_merge_preprocess_fn)."""
+    import itertools
+
+    from audio_training_tpu.data.pipeline import RecordStream, find_shards
+    from audio_training_tpu.data.preprocess import make_merge_preprocess_fn
+    from audio_training_tpu.data.schema import (
+        MID_FEATURES_SHAPE,
+        SHORT_FEATURES_SHAPE,
+    )
+
+    def shards_for(split):
+        if split_shards is not None:
+            return list(split_shards.get(split) or [])
+        out = []
+        for d in data_dirs:
+            out.extend(find_shards(d, split))
+        return out
+
+    def make_stream(split, loop, seed_offset=0):
+        sh = shards_for(split)
+        if not sh:
+            return None
+        return RecordStream(
+            sh, space, cfg.samples_per_clip, loop=loop,
+            seed=train_cfg.seed + seed_offset, with_features=True,
+            cache=split != "train",
+        )
+
+    def batches(stream, mix_stream=None):
+        """Yield ((raw, short, mid), y[, (raw2, short2, mid2), y2])."""
+        it = iter(stream)
+        mix_it = iter(mix_stream) if mix_stream is not None else None
+
+        def take(source):
+            items = list(itertools.islice(source, train_cfg.batch_size))
+            if len(items) < train_cfg.batch_size:
+                return None
+            raw = jnp.asarray(np.stack([i[0] for i in items]))
+            y = jnp.asarray(np.stack([i[1] for i in items]))
+            s_f = jnp.asarray(np.stack([i[2] for i in items]))
+            m_f = jnp.asarray(np.stack([i[3] for i in items]))
+            return (raw, s_f, m_f), y
+
+        while True:
+            main = take(it)
+            if main is None:
+                return
+            if mix_it is None:
+                yield main
+                continue
+            partner = take(mix_it)
+            if partner is None:
+                return
+            yield (*main, *partner)
+
+    train_stream = make_stream("train", loop=True)
+    if train_stream is None:
+        raise ValueError("no train shards found")
+    mix_stream = make_stream("train", loop=True, seed_offset=7919)
+    if steps_per_epoch is None:
+        counts = data_meta.get("counts", {}).get("train", {}).get(
+            "sample_counts", {}
+        )
+        n = int(sum(counts.values()))
+        if not n:
+            n = sum(1 for _ in make_stream("train", loop=False))
+        if n == 0:
+            raise ValueError(
+                "no feature-bearing records in the train split — rebuild "
+                "with --add-features"
+            )
+        steps_per_epoch = max(n // train_cfg.batch_size, 1)
+    train_iter = iter(batches(train_stream, mix_stream))
+
+    def train_batches(epoch):
+        for _ in range(steps_per_epoch):
+            try:
+                yield next(train_iter)
+            except StopIteration:
+                return
+
+    def val_batches():
+        stream = make_stream("validation", loop=False)
+        if stream is None:
+            return
+        yield from batches(stream)
+
+    pre_train = make_merge_preprocess_fn(
+        cfg, augment=True, mixup_alpha=train_cfg.mixup_alpha,
+        mixup_chance=train_cfg.mixup_chance,
+    )
+    pre_eval = make_merge_preprocess_fn(cfg, augment=False)
+
+    example = (
+        jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32),
+        jnp.zeros((1, *SHORT_FEATURES_SHAPE), jnp.float32),
+        jnp.zeros((1, *MID_FEATURES_SHAPE), jnp.float32),
+    )
+    state = create_train_state(
+        spec.module, example, learning_rate=train_cfg.learning_rate,
+        seed=train_cfg.seed,
+    )
+    state = _maybe_restore(state, weights, weight_labels, labels)
+    log.info("Model %s (merge inputs) has %s params", train_cfg.model_name,
+             param_count(state))
+    save_metadata(
+        run_dir, train_cfg.model_name, labels, cfg, ontology,
+        loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
+        use_generic_bird=train_cfg.use_generic_bird,
+        training_data_meta={
+            k: v for k, v in data_meta.items() if k in ("counts", "type")
+        },
+    )
+    result = fit(
+        state, train_batches, pre_train,
+        epochs=epochs or train_cfg.epochs,
+        steps_per_epoch=steps_per_epoch,
+        val_batches=val_batches, val_preprocess=pre_eval,
+        loss_name=train_cfg.loss, multi_label=train_cfg.multi_label,
+        label_smoothing=train_cfg.label_smoothing,
+        run_dir=run_dir,
+        early_stop_patience=train_cfg.early_stop_patience,
+        reduce_lr_patience=train_cfg.reduce_lr_patience,
+        reduce_lr_factor=train_cfg.reduce_lr_factor,
+        seed=train_cfg.seed, augment=True,
+        confusion_labels=labels if train_cfg.epoch_confusion else None,
+    )
+
+    test_metrics: dict = {}
+    if confusion:
+        test_stream = make_stream("test", loop=False)
+        if test_stream is not None:
+            predict = make_predict_fn(multi_label=train_cfg.multi_label)
+            y_true_all, y_pred_all = [], []
+            for batch in batches(test_stream):
+                xs, y = batch[:2]
+                inputs, yy = pre_eval(xs, y)
+                y_pred_all.append(np.asarray(predict(result.state, inputs)))
+                y_true_all.append(np.asarray(yy))
+            if y_true_all:
+                y_true = np.concatenate(y_true_all)
+                y_pred = np.concatenate(y_pred_all)
+                save_raw_predictions(run_dir / "confusion", labels, y_pred,
+                                     y_true)
+                if train_cfg.multi_label:
+                    cm, none_cm, out_labels = multi_label_confusion(
+                        y_true, y_pred, labels
+                    )
+                    save_confusion(cm, out_labels, run_dir / "confusion")
+                    save_confusion(none_cm, out_labels,
+                                   run_dir / "confusion-none")
+                else:
+                    cm, out_labels = single_label_confusion(y_true, y_pred,
+                                                            labels)
+                    save_confusion(cm, out_labels, run_dir / "confusion")
+                test_metrics = test_set_metrics(y_true, y_pred, labels)
+
+    save_metadata(
+        run_dir, train_cfg.model_name, labels, cfg, ontology,
+        loss_fn=train_cfg.loss, multi_label=train_cfg.multi_label,
+        use_generic_bird=train_cfg.use_generic_bird,
+        history=result.history, test_results=test_metrics,
+        training_data_meta={
+            k: v for k, v in data_meta.items() if k in ("counts", "type")
+        },
+    )
+    return TrainRunResult(run_dir=run_dir, labels=labels,
+                          history=result.history, test_metrics=test_metrics)
+
+
 @dataclass
 class TrainRunResult:
     run_dir: Path
@@ -343,10 +524,14 @@ def train_run(
     dual = spec0.inputs == ("mel", "mel2")
     if spec0.inputs not in (("mel",), ("mel", "mel2")):
         if "mel" in spec0.inputs:
-            raise ValueError(
-                f"model {train_cfg.model_name!r} mixes mel and feature "
-                "inputs; build composite runs from the trained parts "
-                "(reference trains it the same piecemeal way)"
+            # merge: joint end-to-end training of the badwinner2 tower plus
+            # the short/mid feature towers (audiomodel.py:674-708 builds ONE
+            # Keras model over the three inputs and fits it)
+            return _train_merge_run(
+                run_dir, data_dirs, split_shards, space, ontology, labels,
+                train_cfg, cfg, spec0, epochs, steps_per_epoch, data_meta,
+                weights=weights, weight_labels=weight_labels,
+                confusion=confusion,
             )
         return _train_vector_run(
             run_dir, data_dirs, split_shards, space, ontology, labels,
@@ -580,6 +765,7 @@ def train_run(
         bird_index=bird_index,
         specific_bird_mask=specific_bird_mask,
         geo_masks=geo_masks,
+        confusion_labels=labels if train_cfg.epoch_confusion else None,
     )
 
     test_metrics: dict = {}

@@ -73,6 +73,24 @@ class ReduceLROnPlateau:
         return state
 
 
+def _write_epoch_confusion(out_dir: Path, epoch: int, y_true, y_pred,
+                           labels: list[str], multi_label: bool) -> None:
+    """Per-epoch validation confusion artifact (npy + PNG), the equivalent
+    of the reference's TensorBoard confusion image callback
+    (audiomodel.log_confusion_matrix, audiomodel.py:1262-1314)."""
+    from audio_training_tpu.eval.confusion import (
+        multi_label_confusion,
+        save_confusion,
+        single_label_confusion,
+    )
+
+    if multi_label:
+        cm, _, out_labels = multi_label_confusion(y_true, y_pred, labels)
+    else:
+        cm, out_labels = single_label_confusion(y_true, y_pred, labels)
+    save_confusion(cm, out_labels, out_dir / f"epoch_{epoch:03d}")
+
+
 @dataclass
 class FitResult:
     state: TrainState
@@ -104,6 +122,7 @@ def fit(
     bird_index: int | None = None,
     specific_bird_mask=None,
     geo_masks=None,
+    confusion_labels: list[str] | None = None,
 ) -> FitResult:
     """Run the full training schedule.
 
@@ -111,6 +130,12 @@ def fit(
     ``(raw, y[, raw2, y2][, latlng])`` (mixup partner / GPS optional);
     ``preprocess`` is the fused device map from
     :func:`audio_training_tpu.data.preprocess.make_preprocess_fn`.
+
+    With ``confusion_labels`` set (and a val stream + run_dir), a validation
+    confusion matrix is written per epoch to
+    ``run_dir/epoch-confusion/epoch_NNN.{npy,png}`` — the per-epoch
+    TensorBoard confusion image of the reference
+    (audiomodel.log_confusion_matrix, audiomodel.py:1262-1314).
     """
     train_step = make_train_step(
         loss_name=loss_name,
@@ -166,14 +191,32 @@ def fit(
         logs = {f"{k}": v for k, v in logs.items()}
 
         if val_batches is not None:
+            collect = (
+                confusion_labels is not None and run_dir is not None
+            )
+            if collect:
+                from audio_training_tpu.train.step import make_predict_fn
+
+                predict = make_predict_fn(multi_label=multi_label)
+                y_true_parts, y_pred_parts = [], []
             vmetrics = metrics_init()
             for batch in val_batches():
                 raw, y = batch[:2]
                 latlng = batch[-1] if len(batch) % 2 == 1 else None
                 mel, yy = val_preprocess(raw, y)
                 vmetrics = eval_step(state, vmetrics, mel, yy, latlng=latlng)
+                if collect:
+                    y_pred_parts.append(np.asarray(predict(state, mel)))
+                    y_true_parts.append(np.asarray(yy))
             for k, v in metrics_compute(vmetrics).items():
                 logs[f"val_{k}"] = v
+            if collect and y_true_parts:
+                _write_epoch_confusion(
+                    Path(run_dir) / "epoch-confusion", epoch,
+                    np.concatenate(y_true_parts),
+                    np.concatenate(y_pred_parts),
+                    confusion_labels, multi_label,
+                )
 
         logs["lr"] = state.current_lr()
         logs["epoch_time"] = time.time() - t0

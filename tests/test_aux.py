@@ -140,6 +140,64 @@ def test_folder_dataset(tmp_path):
     assert meta["Tracks"][0]["tags"][0]["what"] == "kiwi"
 
 
+def test_flickr_data(tmp_path):
+    """Speech corpora ingest wholesale as ``human`` with one full-length
+    track per file (otherdata.flickr_data, otherdata.py:488-572)."""
+    from audio_training_tpu.corpus.otherdata import flickr_data
+
+    audio_dir = tmp_path / "flickr_audio"
+    (audio_dir / "wavs").mkdir(parents=True)
+    tone_wav(audio_dir / "wavs" / "s1.wav", freq=300, dur=2.0)
+    tone_wav(audio_dir / "wavs" / "s2.wav", freq=400, dur=3.0)
+    (audio_dir / "wavs" / "notes.csv").write_text("not audio\n")
+    n = flickr_data(audio_dir)
+    assert n == 2
+    meta = json.loads((audio_dir / "wavs" / "s1.txt").read_text())
+    assert meta["id"] == "flickr-s1"
+    track = meta["Tracks"][0]
+    assert track["tags"][0]["what"] == "human"
+    assert track["start"] == 0
+    assert track["end"] == pytest.approx(2.0, abs=0.01)
+    # loadable by the dataset model
+    from audio_training_tpu.config import SamplingConfig
+    from audio_training_tpu.corpus.dataset import AudioDataset
+
+    ds = AudioDataset("flickr", SamplingConfig(tighten_tracks=False,
+                                               filter_rms=False))
+    ds.load_meta(audio_dir)
+    assert ds.labels == {"human"}
+    assert len(ds.recs) == 2
+
+
+def test_chime_data(tmp_path):
+    """CHiME-home chunk letters map to human/noise via majority-vote
+    annotations (otherdata.chime_data, otherdata.py:624-756)."""
+    from audio_training_tpu.corpus.otherdata import chime_data
+
+    audio_dir = tmp_path / "chunks"
+    audio_dir.mkdir()
+    tone_wav(audio_dir / "chunk1.wav", freq=600, dur=4.0)
+    tone_wav(audio_dir / "chunk2.wav", freq=700, dur=4.0)
+    tone_wav(audio_dir / "chunk3.wav", freq=800, dur=4.0)
+    csv_file = tmp_path / "chunks.csv"
+    # c=child->human, v=TV->noise; chunk2 has only unknown letters (skipped
+    # labels), chunk4 has no audio on disk
+    csv_file.write_text(
+        "chunk1,cv\n"
+        "chunk2,zz\n"
+        "chunk3,m\n"
+        "chunk4,c\n"
+    )
+    n = chime_data(csv_file, audio_dir)
+    assert n == 2
+    meta1 = json.loads((audio_dir / "chunk1.txt").read_text())
+    whats = sorted(t["tags"][0]["what"] for t in meta1["Tracks"])
+    assert whats == ["human", "noise"]  # multi-label chunk
+    meta3 = json.loads((audio_dir / "chunk3.txt").read_text())
+    assert [t["tags"][0]["what"] for t in meta3["Tracks"]] == ["human"]
+    assert not (audio_dir / "chunk2.txt").exists()
+
+
 def test_mix_noise_snr():
     from audio_training_tpu.corpus.otherdata import mix_noise
 

@@ -61,6 +61,54 @@ def built_dataset(tmp_path_factory):
     return data_dir
 
 
+@pytest.fixture(scope="module")
+def built_dataset_features(tmp_path_factory):
+    """Tiny corpus built with --add-features (hand-crafted short/mid feature
+    tensors per record) and no resampling (--sr matches the WAVs)."""
+    from audio_training_tpu.cli.build import main as build_main
+
+    root = tmp_path_factory.mktemp("corpus_f")
+    out = tmp_path_factory.mktemp("out_f")
+    write_corpus(root, n_recs=9)
+    rc = build_main([
+        str(out), "-d", str(root),
+        "--sr", str(SR), "--n-fft", "512",
+        "--seg-length", "3", "--stride", "1",
+        "--mels", "96", "--fmin", "100", "--fmax", "3500",
+        "--hop-length", "100",
+        "--dont-tighten-tracks", "--dont-filter-rms",
+        "--workers", "1", "--add-features",
+    ])
+    assert rc == 0
+    return out / "training-data"
+
+
+def test_train_cli_merge_model(built_dataset_features, tmp_path):
+    """End-to-end CLI training of the 'merge' model: the joint
+    badwinner2+feature-towers model (audiomodel.py:674-708) trains from a
+    built-with-features dataset, with the featurizer geometry picked up from
+    training-meta.json."""
+    from audio_training_tpu.cli.train import main as train_main
+
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(json.dumps({"compute_dtype": "float32"}))
+    rc = train_main([
+        "mergecli", "-d", str(built_dataset_features),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--model-name", "merge", "--epochs", "1", "--steps-per-epoch", "2",
+        "--batch-size", "4", "--lr", "0.001",
+        "-c", str(cfg_file),
+    ])
+    assert rc == 0
+    run_dir = tmp_path / "ckpt" / "mergecli"
+    meta = json.loads((run_dir / "metadata.txt").read_text())
+    assert meta["name"] == "merge"
+    # featurizer defaults came from the build's training-meta.json
+    assert meta["sample_rate"] == SR
+    assert meta["n_fft"] == 512
+    assert (run_dir / "chkpt").exists()
+
+
 def test_build_output_structure(built_dataset):
     meta = json.loads((built_dataset / "training-meta.json").read_text())
     assert set(meta["counts"]) == {"train", "validation", "test"}
@@ -80,7 +128,7 @@ def trained_run(built_dataset, tmp_path_factory):
     )
     cfg = TrainConfig(
         model_name="badwinner2", batch_size=8, learning_rate=1e-3,
-        epochs=2, compute_dtype="float32",
+        epochs=2, compute_dtype="float32", epoch_confusion=True,
     )
     result = train_run(
         [built_dataset], "testrun", checkpoint_root=ckpt_root,
@@ -99,6 +147,11 @@ def test_train_run_outputs(trained_run):
     assert meta["ebird_labels"] == trained_run.labels
     assert "history" in meta
     assert "kiwi" in trained_run.labels and "bird" in trained_run.labels
+    # per-epoch validation confusion artifacts (epoch_confusion=True;
+    # audiomodel.log_confusion_matrix parity)
+    epoch_cms = sorted((run_dir / "epoch-confusion").glob("epoch_*.npy"))
+    assert len(epoch_cms) == 2  # one per epoch
+    assert (run_dir / "epoch-confusion" / "epoch_000.png").exists()
 
 
 def test_freeze_and_predict(trained_run, tmp_path):

@@ -31,7 +31,8 @@ from audio_training_tpu.corpus.split import _add_sample
 from audio_training_tpu.data import RecordStream, decode_sample, find_shards, read_tfrecords
 
 SR = 8000
-CFG = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=32)
+CFG = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=32,
+                       fmax=3500.0)
 NO_RMS = SamplingConfig(tighten_tracks=False, filter_rms=False)
 
 

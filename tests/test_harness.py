@@ -317,25 +317,69 @@ def test_train_run_dual_badwinner2(tmp_path, small_corpus_dataset=None):
     assert np.isfinite(result.history["loss"]).all()
 
 
-def test_train_run_merge_model_rejected(tmp_path):
-    """'merge' mixes mel and feature inputs; train_run refuses with a clear
-    error instead of silently mis-routing."""
+@pytest.mark.slow
+def test_train_run_merge_model(tmp_path):
+    """'merge' trains jointly end-to-end: badwinner2 mel tower + short/mid
+    feature towers as ONE model (audiomodel.py:674-708), streaming
+    (raw, short_f, mid_f, y) from feature-bearing records."""
     import json
 
-    import pytest as _pytest
+    import numpy as np
 
-    from audio_training_tpu.config import TrainConfig
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.data.schema import (
+        MID_FEATURES_SHAPE,
+        SHORT_FEATURES_SHAPE,
+        SampleRecord,
+        encode_sample,
+    )
+    from audio_training_tpu.data.tfrecord import write_tfrecords
     from audio_training_tpu.train.harness import train_run
 
+    rng = np.random.default_rng(4)
+    sr, spc = 8000, 8000 * 3
     data = tmp_path / "training-data"
-    data.mkdir(parents=True)
+    labels = ["kiwi", "rain"]
+    for split, n in (("train", 16), ("validation", 8), ("test", 8)):
+        recs = []
+        for i in range(n):
+            tag = labels[i % 2]
+            raw = (0.1 * rng.standard_normal(spc)).astype(np.float32)
+            short = rng.standard_normal(SHORT_FEATURES_SHAPE).astype(
+                np.float32) * 0.1
+            short += 2.0 * (1 if tag == "kiwi" else -1)
+            mid = np.abs(rng.standard_normal(MID_FEATURES_SHAPE)).astype(
+                np.float32)
+            recs.append(encode_sample(SampleRecord(
+                raw=raw, tags=[tag], rec_id=f"{split}{i}", sr=sr,
+                short_features=short, mid_features=mid,
+            )))
+        write_tfrecords(data / split / "00.tfrecord", recs)
     (data / "training-meta.json").write_text(json.dumps({
-        "labels": ["kiwi"], "type": "audio",
-        "counts": {"train": {"sample_counts": {"kiwi": 1},
-                             "rec_counts": {"kiwi": 1}},
-                   "validation": {"sample_counts": {"kiwi": 1},
-                                  "rec_counts": {"kiwi": 1}}},
+        "labels": labels, "type": "audio",
+        "counts": {"train": {
+            "sample_counts": {l: 8 for l in labels},
+            "rec_counts": {l: 8 for l in labels},
+        }, "validation": {
+            "sample_counts": {l: 4 for l in labels},
+            "rec_counts": {l: 4 for l in labels},
+        }},
     }))
-    with _pytest.raises(ValueError, match="mixes mel and feature"):
-        train_run([data], "mergerun", checkpoint_root=tmp_path / "ckpt",
-                  train_cfg=TrainConfig(model_name="merge"))
+
+    cfg = TrainConfig(model_name="merge", batch_size=4, learning_rate=1e-3,
+                      epochs=2, compute_dtype="float32")
+    fz = FeaturizerConfig(sr=sr, n_fft=512, hop_length=100, n_mels=96,
+                          fmin=100, fmax=3500)
+    result = train_run(
+        [data], "mergerun", checkpoint_root=tmp_path / "ckpt",
+        train_cfg=cfg, featurizer=fz, epochs=2, steps_per_epoch=3,
+    )
+    assert len(result.history["loss"]) == 2
+    assert np.isfinite(result.history["loss"]).all()
+    assert "val_loss" in result.history
+    assert (result.run_dir / "chkpt").exists()
+    # joint test-set confusion artifacts written from the three-input model
+    assert (result.run_dir / "confusion.npy").exists() or list(
+        result.run_dir.glob("confusion*")
+    )
+    assert result.test_metrics.get("test_samples", 0) > 0

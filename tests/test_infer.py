@@ -132,7 +132,8 @@ def test_predictor_end_to_end():
 
     from audio_training_tpu.models import build_model
 
-    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96)
+    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96,
+                           fmax=3500.0)
     spec = build_model("badwinner2", num_labels=3, logits_only=True)
     mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
     import jax
@@ -267,7 +268,8 @@ def test_predictor_sharded_over_mesh():
     from audio_training_tpu.models import build_model
     from audio_training_tpu.parallel import make_mesh
 
-    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96)
+    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96,
+                           fmax=3500.0)
     spec = build_model("badwinner2", num_labels=3, logits_only=True)
     mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
     variables = spec.module.init({"params": jax.random.PRNGKey(0)}, mel0,
