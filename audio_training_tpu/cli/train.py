@@ -48,6 +48,10 @@ def parse_args(argv=None):
     parser.add_argument("--cross", action="count", help="5-fold CV")
     parser.add_argument("-w", "--weights", default=None,
                         help="Checkpoint to fine-tune from")
+    parser.add_argument("--backbone-weights", default=None,
+                        help="Local keras.applications weight file (e.g. a "
+                             "'notop' ImageNet h5) to initialize a "
+                             "pretrained-backbone model from")
     # featurizer flags default to the dataset's training-meta.json values
     # (the build embeds its FeaturizerConfig, corpus/split.py:323-324) so the
     # train-time featurizer matches the shards unless explicitly overridden
@@ -133,6 +137,7 @@ def main(argv=None) -> int:
         only_features=bool(args.only_features),
         morepork_model=args.morepork_model,
         weights=args.weights,
+        backbone_weights=args.backbone_weights,
     )
     if train_cfg.model_name == "rf-features":
         from audio_training_tpu.train.harness import train_random_forest

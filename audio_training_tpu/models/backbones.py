@@ -30,7 +30,19 @@ from audio_training_tpu.models.layers import Conv, KerasBatchNorm, max_pool
 # ---------------------------------------------------------------------------
 
 
+RESNET_BN_EPS = 1.001e-5  # keras.applications.resnet BN epsilon
+
+
 class BottleneckV1(nn.Module):
+    """keras.applications residual_block_v1: 1x1/3x3/1x1 bottleneck with a
+    conv shortcut, stride on the first 1x1, BN eps 1.001e-5.
+
+    Module creation follows the keras functional graph's TOPOLOGICAL layer
+    order (1_conv, 1_bn, 2_conv, 2_bn, 0_conv, 3_conv, 0_bn, 3_bn — the
+    shortcut interleaves mid-block) so the positional weight transplant
+    (models/transplant.py) pairs layer-for-layer with
+    ``tf.keras.applications.ResNet50(...).layers``."""
+
     filters: int
     stride: int = 1
     project: bool = False
@@ -39,21 +51,23 @@ class BottleneckV1(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.filters
-        shortcut = x
         y = Conv(f, (1, 1), strides=(self.stride, self.stride), padding="SAME",
                  dtype=self.dtype)(x)
-        y = KerasBatchNorm(dtype=self.dtype)(y, train)
+        y = KerasBatchNorm(epsilon=RESNET_BN_EPS, dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(y)
-        y = KerasBatchNorm(dtype=self.dtype)(y, train)
+        y = KerasBatchNorm(epsilon=RESNET_BN_EPS, dtype=self.dtype)(y, train)
         y = nn.relu(y)
-        y = Conv(4 * f, (1, 1), padding="SAME", dtype=self.dtype)(y)
-        y = KerasBatchNorm(dtype=self.dtype)(y, train)
+        shortcut = x
         if self.project:
             shortcut = Conv(4 * f, (1, 1),
                             strides=(self.stride, self.stride),
                             padding="SAME", dtype=self.dtype)(shortcut)
-            shortcut = KerasBatchNorm(dtype=self.dtype)(shortcut, train)
+        y = Conv(4 * f, (1, 1), padding="SAME", dtype=self.dtype)(y)
+        if self.project:
+            shortcut = KerasBatchNorm(epsilon=RESNET_BN_EPS,
+                                      dtype=self.dtype)(shortcut, train)
+        y = KerasBatchNorm(epsilon=RESNET_BN_EPS, dtype=self.dtype)(y, train)
         return nn.relu(y + shortcut)
 
 
@@ -98,11 +112,18 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = Conv(64, (7, 7), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
+        # keras stem: ZeroPadding((3,3)) + VALID 7x7/2 (NOT SAME — the
+        # symmetric pad differs from XLA's (2,3) SAME pad on even inputs),
+        # then ZeroPadding((1,1)) + VALID 3x3/2 max pool
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = Conv(64, (7, 7), strides=(2, 2), padding="VALID",
+                 dtype=self.dtype)(x)
         if not self.v2:
-            x = KerasBatchNorm(dtype=self.dtype)(x, train)
+            x = KerasBatchNorm(epsilon=RESNET_BN_EPS, dtype=self.dtype)(
+                x, train)
             x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         block = BottleneckV2 if self.v2 else BottleneckV1
         for stage, n_blocks in enumerate(self.stage_sizes):
             f = 64 * (2**stage)
@@ -111,7 +132,8 @@ class ResNet(nn.Module):
                 x = block(f, stride=stride, project=(b == 0),
                           dtype=self.dtype)(x, train)
         if self.v2:
-            x = KerasBatchNorm(dtype=self.dtype)(x, train)
+            x = KerasBatchNorm(epsilon=RESNET_BN_EPS, dtype=self.dtype)(
+                x, train)
             x = nn.relu(x)
         return x
 
@@ -305,16 +327,37 @@ def _round_repeats(r: int, depth: float) -> int:
 
 class EfficientNet(nn.Module):
     """EfficientNet-B* via compound scaling; (width, depth): B0=(1.0,1.0),
-    B1=(1.0,1.1), B5=(1.6,2.2)."""
+    B1=(1.0,1.1), B5=(1.6,2.2).
+
+    The keras.applications graph bakes input preprocessing into the model:
+    ``Rescaling(1/255)`` then a ``Normalization`` layer (identity with
+    ``weights=None``; ImageNet mean/var when pretrained weights are loaded,
+    plus an extra ``1/sqrt(std)`` rescale).  ``norm_mean``/``norm_var`` hold
+    those constants for weight imports; the stride-2 ``correct_pad`` +
+    VALID convs of the keras graph are numerically identical to XLA SAME
+    padding (asymmetric (k//2-1, k//2) on even inputs), so SAME is used.
+    """
 
     width: float = 1.0
     depth: float = 1.0
+    rescale: bool = True  # keras Rescaling(1/255) stem layer
+    norm_mean: tuple = ()  # per-channel; empty = identity normalization
+    norm_var: tuple = ()
+    extra_rescale: tuple = ()  # imagenet 1/sqrt(std) (keras issue #49930)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.rescale:
+            x = x / 255.0
+        if self.norm_mean:
+            mean = jnp.asarray(self.norm_mean, x.dtype)
+            var = jnp.asarray(self.norm_var, x.dtype)
+            x = (x - mean) / jnp.sqrt(var)
+        if self.extra_rescale:
+            x = x * jnp.asarray(self.extra_rescale, x.dtype)
         x = Conv(_round_filters(32, self.width), (3, 3), strides=(2, 2),
                  padding="SAME", dtype=self.dtype)(x)
         x = KerasBatchNorm(dtype=self.dtype)(x, train)

@@ -36,6 +36,8 @@ class KerasBatchNorm(nn.Module):
     feature_axis: int = -1
     use_scale: bool = True
     use_bias: bool = True
+    # Keras default 1e-3; keras.applications ResNets pass 1.001e-5
+    epsilon: float = BN_EPS
     dtype: Any = None
 
     @nn.compact
@@ -44,7 +46,7 @@ class KerasBatchNorm(nn.Module):
             use_running_average=not train,
             axis=self.feature_axis,
             momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
+            epsilon=self.epsilon,
             use_scale=self.use_scale,
             use_bias=self.use_bias,
             dtype=self.dtype,

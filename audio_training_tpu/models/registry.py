@@ -153,6 +153,10 @@ class BackboneClassifier(nn.Module):
     use_pcen: bool = True
     dropout: float = 0.5
     logits_only: bool = False
+    # static constructor kwargs for the backbone as a tuple of (name, value)
+    # pairs (hashable for flax) — e.g. EfficientNet normalization constants
+    # set by the pretrained-weight import (models/transplant.py)
+    backbone_args: tuple = ()
     dtype: Any = None
 
     @nn.compact
@@ -162,7 +166,9 @@ class BackboneClassifier(nn.Module):
             x = PCENLayer(time_axis=2)(x)
         else:
             x = MagTransform()(x)
-        backbone = BACKBONES[self.backbone_name](dtype=self.dtype)
+        backbone = BACKBONES[self.backbone_name](
+            dtype=self.dtype, **dict(self.backbone_args)
+        )
         x = backbone(x, train)
         if self.lme:
             x = LMELayer(axis=1, sharpness=5)(x)

@@ -483,6 +483,7 @@ def train_run(
     weights: str | Path | None = None,
     weight_labels: list[str] | None = None,
     split_shards: dict[str, list[Path]] | None = None,
+    backbone_weights: str | Path | None = None,
 ) -> TrainRunResult:
     """The full training pipeline on real shard data.
 
@@ -689,6 +690,23 @@ def train_run(
 
     # model
     spec = spec0
+    keras_backbone = None
+    if backbone_weights is not None:
+        # pretrained-backbone import from a LOCAL keras weight file
+        # (audiomodel.get_base_model weights="imagenet",
+        # audiomodel.py:972-1141; zero-egress gating like infer/embeddings)
+        from audio_training_tpu.models.transplant import load_keras_backbone
+
+        keras_backbone, backbone_args = load_keras_backbone(
+            train_cfg.model_name, backbone_weights,
+            input_shape=(cfg.n_mels, cfg.mel_frames, channels),
+        )
+        if backbone_args:
+            spec = build_model(
+                train_cfg.model_name, num_labels=len(labels),
+                multi_label=train_cfg.multi_label, logits_only=True,
+                dtype=dtype0, backbone_args=backbone_args,
+            )
     if dual:
         raw0 = jnp.zeros((1, cfg.samples_per_clip), jnp.float32)
         example_inputs, _ = pre_eval(raw0, jnp.zeros((1, len(labels))))
@@ -700,6 +718,20 @@ def train_run(
         spec.module, example_inputs, learning_rate=train_cfg.learning_rate,
         seed=train_cfg.seed,
     )
+    if keras_backbone is not None:
+        from audio_training_tpu.models.transplant import (
+            transplant_backbone_into_classifier,
+        )
+
+        restored = transplant_backbone_into_classifier(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            keras_backbone,
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+        )
+        log.info("Imported backbone weights from %s", backbone_weights)
     state = _maybe_restore(state, weights, weight_labels, labels)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))

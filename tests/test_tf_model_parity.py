@@ -35,17 +35,30 @@ def tf():
     return tf
 
 
-def _randomize_keras_weights(tf, model, seed=0):
+def _randomize_keras_weights(tf, model, seed=0, scaled=False):
     """Give every weight (incl. BN moving stats) a non-default value so the
-    parity check exercises the full transplant, not just fresh inits."""
+    parity check exercises the full transplant, not just fresh inits.
+
+    Normalization-layer statistics (EfficientNet stem) and non-float weights
+    are left alone: the flax side treats those as static constants
+    (backbones.EfficientNet.norm_mean/var), identity when unadapted.
+    """
     rng = np.random.default_rng(seed)
     for w in model.weights:
-        name = w.name
+        name = getattr(w, "path", None) or w.name
+        if "normalization" in name or "float" not in str(w.dtype):
+            continue
         shape = tuple(w.shape)
-        if "moving_variance" in name:
+        if "variance" in name:
             val = rng.uniform(0.5, 2.0, shape)
         elif "a-power" in name:
             val = rng.uniform(-1.5, 0.5, shape)
+        elif scaled and len(shape) >= 2:
+            # fan-in-scaled randomization for very deep nets: unscaled
+            # N(0, 0.35) kernels blow 50-layer activations up to ~1e14,
+            # where fp32 conv-order noise swamps any tolerance
+            fan_in = int(np.prod(shape[:-1]))
+            val = rng.normal(0.0, 1.0 / np.sqrt(fan_in), shape)
         else:
             val = rng.normal(0.0, 0.35, shape)
         w.assign(val.astype(np.float32))
@@ -170,6 +183,192 @@ def test_wr_resnet_bird_logit_parity(tf):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_resnet50_backbone_parity(tf):
+    """Flax ResNet (models/backbones.py) vs keras.applications.ResNet50
+    (weights=None, include_top=False) — the reference's default pretrained-
+    backbone trunk (audiomodel.get_base_model, audiomodel.py:997-1004).
+    Odd spatial width exercises the explicit-pad stem vs SAME differences."""
+    import jax
+
+    from audio_training_tpu.models.backbones import ResNet
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    shape = (96, 101, 3)
+    keras_model = tf.keras.applications.ResNet50(
+        weights=None, include_top=False, input_shape=shape
+    )
+    _randomize_keras_weights(tf, keras_model, seed=9, scaled=True)
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(0.0, 1.0, (2, *shape)).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = ResNet(stage_sizes=(3, 4, 6, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3)
+
+
+def test_efficientnetb0_backbone_parity(tf):
+    """Flax EfficientNet vs keras.applications.EfficientNetB0 (weights=None,
+    include_top=False), including the baked-in Rescaling(1/255) stem
+    (audiomodel.get_base_model, audiomodel.py:1061-1071)."""
+    import jax
+
+    from audio_training_tpu.models.backbones import EfficientNet
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    shape = (96, 101, 3)
+    keras_model = tf.keras.applications.EfficientNetB0(
+        weights=None, include_top=False, input_shape=shape
+    )
+    _randomize_keras_weights(tf, keras_model, seed=11, scaled=True)
+
+    rng = np.random.default_rng(12)
+    x = (rng.uniform(0.0, 255.0, (2, *shape))).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = EfficientNet(width=1.0, depth=1.0)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3)
+
+
+def test_badwinner2_production_geometry_parity(tf):
+    """badwinner2 at the production (160, 513) input — exercises the 44x3
+    big-condense branch (badwinner2.py:258-266) that the reduced-geometry
+    test does not."""
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import badwinner2 as ref_badwinner2
+    finally:
+        sys.path.pop(0)
+
+    import jax
+
+    from audio_training_tpu.models.badwinner2 import BadWinner2
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    num_labels = 5
+    shape = (160, 513, 1)
+    keras_model = ref_badwinner2.build_model(
+        shape, None, num_labels, multi_label=True
+    )
+    _randomize_keras_weights(tf, keras_model, seed=13)
+
+    rng = np.random.default_rng(14)
+    x = np.abs(rng.normal(0.0, 1.0, (2, *shape))).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = BadWinner2(num_labels=num_labels, multi_label=True)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_wr_resnet_production_depth_parity(tf):
+    """wr-resnet at the production depth 22 / k 4 (audiomodel.py:779)."""
+    sys.path.insert(0, str(REFERENCE / "resnet"))
+    try:
+        import wr_resnet as ref_wr_resnet
+    finally:
+        sys.path.pop(0)
+
+    import jax
+
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+    from audio_training_tpu.models.wr_resnet import WRResNet
+
+    classes, depth, k = 3, 22, 4
+    shape = (160, 201, 1)
+    keras_model = ref_wr_resnet.WRResNet(
+        input_shape=shape, classes=classes, depth=depth, k=k
+    )
+    _randomize_keras_weights(tf, keras_model, seed=15, scaled=True)
+
+    rng = np.random.default_rng(16)
+    x = rng.normal(0.0, 1.0, (2, *shape)).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = WRResNet(classes=classes, depth=depth, k=k)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_backbone_weight_import_local_file(tf, tmp_path):
+    """--backbone-weights: a LOCAL keras weight file initializes the
+    backbone trunk of a BackboneClassifier while the PCEN frontend and
+    Dense head keep fresh init (audiomodel.get_base_model weights=...,
+    audiomodel.py:972-1141; zero-egress gated like infer/embeddings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.models.transplant import (
+        load_keras_backbone,
+        transplant_backbone_into_classifier,
+    )
+
+    shape = (64, 64, 3)
+    src = tf.keras.applications.ResNet50(
+        weights=None, include_top=False, input_shape=shape
+    )
+    _randomize_keras_weights(tf, src, seed=17, scaled=True)
+    wpath = tmp_path / "rn50.weights.h5"
+    src.save_weights(str(wpath))
+
+    keras_model, backbone_args = load_keras_backbone("resnet", wpath, shape)
+    assert backbone_args == ()  # ResNet has no normalization constants
+
+    spec = build_model("resnet", num_labels=4, logits_only=True,
+                       backbone_args=backbone_args)
+    x = jnp.zeros((1, *shape), jnp.float32)
+    variables = spec.module.init({"params": jax.random.PRNGKey(0)}, x,
+                                 train=False)
+    restored = transplant_backbone_into_classifier(variables, keras_model)
+
+    # the imported stem conv kernel equals the keras one
+    import numpy as np
+    bk = [k for k in restored["params"] if k.startswith("ResNet")][0]
+    flax_stem = np.asarray(restored["params"][bk]["Conv_0"]["Conv_0"]["kernel"])
+    keras_stem = src.get_layer("conv1_conv").kernel.numpy()
+    np.testing.assert_array_equal(flax_stem, keras_stem)
+    # forward pass runs with the imported trunk
+    out = spec.module.apply(restored, x, train=False)
+    assert out.shape == (1, 4)
+
+    # efficientnet import carries the imagenet stem rescale constants
+    src_eff = tf.keras.applications.EfficientNetB0(
+        weights=None, include_top=False, input_shape=shape
+    )
+    wpath_eff = tmp_path / "effb0.weights.h5"
+    src_eff.save_weights(str(wpath_eff))
+    _, eff_args = load_keras_backbone("efficientnetb0", wpath_eff, shape)
+    args = dict(eff_args)
+    assert "extra_rescale" in args
+    np.testing.assert_allclose(
+        args["extra_rescale"], [1 / 0.229**0.5, 1 / 0.224**0.5,
+                                1 / 0.225**0.5]
+    )
+
+    # missing file -> clear gated error
+    with pytest.raises(FileNotFoundError, match="backbone weight file"):
+        load_keras_backbone("resnet", tmp_path / "nope.h5", shape)
 
 
 def test_badwinner2_res_logit_parity(tf):
