@@ -157,11 +157,17 @@ class BackboneClassifier(nn.Module):
     # pairs (hashable for flax) — e.g. EfficientNet normalization constants
     # set by the pretrained-weight import (models/transplant.py)
     backbone_args: tuple = ()
+    # input is already PCEN'd (e.g. by the fused waveform->mel->PCEN Pallas
+    # featurizer, ops/pallas/fused_featurizer.py) — skip the in-model
+    # frontend; at inference the math is identical to use_pcen=True
+    external_frontend: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.use_pcen:
+        if self.external_frontend:
+            pass
+        elif self.use_pcen:
             # PCEN over mel images: time axis is 2 in (B, mel, T, C)
             x = PCENLayer(time_axis=2)(x)
         else:

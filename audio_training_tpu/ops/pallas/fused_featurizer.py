@@ -89,7 +89,13 @@ def _dot(lhs, rhs, dn, precision):
 
 
 def _dft_constants(hop: int) -> dict[str, np.ndarray]:
-    """Trace-time operator tables for the two-stage DFT."""
+    """Trace-time operator tables for the two-stage DFT.
+
+    (A merged single-dot stage 2 contracting ``(part, n2)`` with K=256 was
+    tried and REJECTED by Mosaic: ``tpu.matmul lhs contracting dims must be
+    of size 1`` — multi-dim contractions don't lower.  Stage 2 stays as two
+    K=128 batched dots.)
+    """
     n1 = np.arange(R1)[:, None]
     k1 = np.arange(R1)[None, :]
     w32 = np.exp(-2j * np.pi * n1 * k1 / R1)  # [n1, k1]
@@ -173,6 +179,11 @@ def _featurizer_kernel(
     for g in range(n_tiles):
         base = g * tile * hop
         # ---- framing + window: all offsets static ----------------------
+        # NOTE: scratch/operands stay f32 even at "default" precision —
+        # explicit bf16 scratch + bf16 operators were measured 28.6 ms vs
+        # 13.5 ms (Mosaic's implicit per-dot converts beat explicit bf16
+        # operands, whose 16-sublane packing degrades the contracted-
+        # sublane-dim dots).  See docs/PERFORMANCE.md round 3.
         for i in range(tile):
             frames_scr[i : i + 1, :] = (
                 raw_ref[0, :, base + hop * i : base + hop * i + N_FFT] * win
@@ -263,6 +274,9 @@ def _fused_call(
     frames_total = n_tiles * tile
     mac = tile * (2 * R1 * R1 * R2 + 2 * R1 * 2 * K2C * R2
                   + R1 * K2C * m_pad + tile * m_pad)
+    d1ri = jnp.asarray(consts["d1ri"])
+    e_re = jnp.asarray(consts["e_re"])
+    e_im = jnp.asarray(consts["e_im"])
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -297,9 +311,8 @@ def _fused_call(
             transcendentals=int(b * n_tiles * m_pad * tile * 4),
         ),
         interpret=interpret,
-    )(params, raw_padded, jnp.asarray(consts["d1ri"]),
-      jnp.asarray(consts["e_re"]), jnp.asarray(consts["e_im"]),
-      jnp.asarray(consts["win"]), melw_pad)
+    )(params, raw_padded, d1ri, e_re, e_im, jnp.asarray(consts["win"]),
+      melw_pad)
 
 
 class FusedFeaturizer:

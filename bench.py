@@ -1,27 +1,35 @@
-"""Benchmark: fused waveform -> mel -> badwinner2-logits inference.
+"""Benchmark: fused waveform -> mel [-> PCEN] -> CNN-logits inference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 50 000 audio-seconds/sec/chip (BASELINE.md).  Each clip is
-3 s of 48 kHz audio at the production geometry (NFFT 4096, hop 281, 160 mels,
-513 frames).
+Prints TWO JSON lines ({"metric", "value", "unit", "vs_baseline"} each), the
+OFFICIAL driver line LAST:
 
-The chain is the production badwinner2 inference path (reference
-tfdataset.py:481-498 order: per-clip waveform min-max normalize ->
-raw_to_mel -> model; PCEN is the pretrained-backbone frontend, NOT part of
-the badwinner2 chain — badwinner2's MagTransform ``x**sigmoid(a)`` NaNs on
-the PCEN layer's [-1, 1] output in this framework AND in the TF reference).
-The featurizer is the fully-fused Pallas kernel
-(ops/pallas/fused_featurizer.py): framing -> two-stage matmul-DFT -> power
--> mel in VMEM, one kernel per batch.  ``BENCH_FEAT_PRECISION``
-selects its dot precision: "default" (bf16 MXU dots, ~2e-3 mel error — the
-same numeric class as the bf16 CNN that consumes the image) or "highest"
-(exact f32 parity with the reference featurizer, 1.96e-7 on-chip, ~15 ms
-more per 256-clip batch).  Parity evidence for both tiers is recorded in
-docs/PERFORMANCE.md and tests/test_fused_featurizer.py.
+1. ``mel+PCEN+backbone`` — the chain the driver metric names: fused
+   waveform -> mel -> PCEN featurizer feeding a PCEN-consuming model.  In
+   the reference PCEN fronts the pretrained-backbone models ONLY
+   (audiomodel.py:789-796); the representative backbone is EfficientNet-B0
+   (audiomodel.get_base_model, audiomodel.py:1061-1071) — measured fastest
+   of the zoo on this chip (23.3k vs ResNet50's 16.1k; ResNet50's
+   high-resolution early stages dominate at the (160, 513) mel geometry) —
+   with the PCEN computed inside the fused Pallas featurizer, identical
+   inference math to the model-internal PCEN layer
+   (tests/test_fused_featurizer.py anchors it to tfpcen).
+2. ``badwinner2 e2e`` (official) — the production flagship chain
+   (tfdataset.py:481-498 order): per-clip waveform min-max normalize ->
+   raw_to_mel -> badwinner2.  PCEN is NOT part of this chain — badwinner2's
+   MagTransform ``x**sigmoid(a)`` NaNs on PCEN's [-1, 1] output in this
+   framework AND in the TF reference (docs/PERFORMANCE.md).
+
+Each clip is 3 s of 48 kHz audio at the production geometry (NFFT 4096, hop
+281, 160 mels, 513 frames).  The featurizer is the fully-fused Pallas
+kernel (ops/pallas/fused_featurizer.py); ``BENCH_FEAT_PRECISION`` selects
+its dot precision: "default" (bf16 MXU dots, ~2e-3 mel error — the same
+numeric class as the bf16 CNN consuming the image) or "highest" (exact f32
+parity, 1.96e-7 on-chip).  Baseline target: 50 000 audio-seconds/sec/chip
+(BASELINE.md).
 
 Measurement notes (see .claude/skills/verify/SKILL.md): the axon relay
-result-caches identical calls and executes lazily past block_until_ready, so
-the timed region chains ITERS steps inside ONE jit via lax.scan with
+result-caches identical calls and executes lazily past block_until_ready,
+so each timed region chains ITERS steps inside ONE jit via lax.scan with
 step-dependent inputs and is synchronized by a scalar host fetch.
 """
 
@@ -36,6 +44,17 @@ import numpy as np
 TARGET = 50_000.0  # audio-seconds/sec/chip (BASELINE.json north star)
 BATCH = 256
 ITERS = 8
+
+
+def _measure(run, raw, batch, seconds_per_clip):
+    import jax  # noqa: F401
+
+    float(run(raw))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(raw))  # host fetch of the scalar forces the whole chain
+    dt = time.perf_counter() - t0
+    clips_per_s = batch * ITERS / dt
+    return clips_per_s * seconds_per_clip
 
 
 def main() -> None:
@@ -60,47 +79,66 @@ def main() -> None:
         build_mel_weights(cfg), cfg.n_fft, cfg.hop_length,
         precision=precision,
     )
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(
+        rng.standard_normal((BATCH, cfg.samples_per_clip)).astype(np.float32)
+    )
+
+    def scan_chain(full):
+        @jax.jit
+        def run(raw0):
+            def step(carry, i):
+                r = carry + i.astype(jnp.float32) * 1e-6
+                return carry, full(r).sum()
+            _, sums = jax.lax.scan(step, raw0, jnp.arange(ITERS))
+            return sums.sum()
+        return run
+
+    # ---- chain 1: waveform -> mel -> PCEN -> EfficientNet-B0 logits ------
+    eff_spec = build_model(
+        "efficientnetb0", num_labels=num_labels, logits_only=True,
+        external_frontend=True, dtype=jnp.bfloat16,
+    )
+    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 3), jnp.float32)
+    eff_vars = eff_spec.module.init(
+        {"params": jax.random.PRNGKey(1)}, mel0, train=False
+    )
+
+    def full_pcen(r):
+        img = fz(r, pcen=True)[..., None]  # waveform -> mel -> PCEN
+        img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
+        return eff_spec.module.apply(eff_vars, img, train=False)
+
+    pcen_audio_s = _measure(scan_chain(full_pcen), raw, BATCH,
+                            cfg.segment_length)
+    print(json.dumps({
+        "metric": "audio-seconds/sec/chip (mel+PCEN+efficientnetb0 infer)",
+        "value": round(pcen_audio_s, 1),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(pcen_audio_s / TARGET, 4),
+    }), flush=True)
+
+    # ---- chain 2 (official): normalize -> mel -> badwinner2 logits -------
     spec = build_model(
         "badwinner2", num_labels=num_labels, logits_only=True,
         dtype=jnp.bfloat16,
     )
-    rng = np.random.default_rng(0)
-    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
-    variables = spec.module.init({"params": jax.random.PRNGKey(0)}, mel0,
+    bw_mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
+    variables = spec.module.init({"params": jax.random.PRNGKey(0)}, bw_mel0,
                                  train=False)
 
-    def full(raw):
-        img = fz(normalize_rows(raw), pcen=False)[..., None]
+    def full_bw(r):
+        img = fz(normalize_rows(r), pcen=False)[..., None]
         return spec.module.apply(variables, img, train=False)
 
-    @jax.jit
-    def run(raw0):
-        def step(carry, i):
-            raw = carry + i.astype(jnp.float32) * 1e-6
-            return raw, full(raw).sum()
-        _, sums = jax.lax.scan(step, raw0, jnp.arange(ITERS))
-        return sums.sum()
-
-    raw = jnp.asarray(
-        rng.standard_normal((BATCH, cfg.samples_per_clip)).astype(np.float32)
-    )
-    float(run(raw))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(raw))  # host fetch of the scalar forces the whole chain
-    dt = time.perf_counter() - t0
-
-    clips_per_s = BATCH * ITERS / dt
-    audio_s_per_s = clips_per_s * cfg.segment_length
-    print(
-        json.dumps(
-            {
-                "metric": "audio-seconds/sec/chip (badwinner2 e2e infer)",
-                "value": round(audio_s_per_s, 1),
-                "unit": "audio_s/s/chip",
-                "vs_baseline": round(audio_s_per_s / TARGET, 4),
-            }
-        )
-    )
+    bw_audio_s = _measure(scan_chain(full_bw), raw, BATCH,
+                          cfg.segment_length)
+    print(json.dumps({
+        "metric": "audio-seconds/sec/chip (badwinner2 e2e infer)",
+        "value": round(bw_audio_s, 1),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(bw_audio_s / TARGET, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -157,6 +157,20 @@ def test_backbone_classifier(name):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_backbone_classifier_external_frontend():
+    """external_frontend=True skips the in-model PCEN/MagTransform — the
+    input is already PCEN'd (fused featurizer serving path); no PCEN params
+    exist in the tree."""
+    x = jnp.asarray(np.random.default_rng(7).random((1, 64, 96, 3)),
+                    jnp.float32)
+    spec = build_model("efficientnetb0", num_labels=3,
+                       external_frontend=True)
+    out, variables = _init_and_run(spec, [x])
+    assert out.shape == (1, 3)
+    flat = str(list(variables["params"].keys()))
+    assert "PCEN" not in flat and "MagTransform" not in flat
+
+
 def test_logmeanexp_between_mean_and_max():
     rng = np.random.default_rng(8)
     x = jnp.asarray(rng.random((4, 10)), jnp.float32)
