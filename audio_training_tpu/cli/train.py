@@ -52,6 +52,11 @@ def parse_args(argv=None):
                         help="Local keras.applications weight file (e.g. a "
                              "'notop' ImageNet h5) to initialize a "
                              "pretrained-backbone model from")
+    parser.add_argument("--backbone-weights-custom", action="store_true",
+                        help="The weight file came from a weights=None "
+                             "keras graph (skip the EfficientNet ImageNet "
+                             "1/sqrt(std) input rescale keras bakes into "
+                             "its weights='imagenet' graphs)")
     # featurizer flags default to the dataset's training-meta.json values
     # (the build embeds its FeaturizerConfig, corpus/split.py:323-324) so the
     # train-time featurizer matches the shards unless explicitly overridden
@@ -97,12 +102,17 @@ def main(argv=None) -> int:
         "fmin": args.fmin, "fmax": args.fmax,
     }
     overrides = {k: v for k, v in overrides.items() if v is not None}
+    # low-nfft mel reduction (tfdataset.py:448-453): whenever the EFFECTIVE
+    # n_fft drops below 2048 without an explicit --mels, cap at 96 mels — a
+    # 160-band filterbank over <=1024 bins leaves many filters empty.  A
+    # meta-provided geometry is already consistent, so the rule only fires
+    # when n_fft is explicitly overridden (or no meta exists).
     if (
         "n_mels" not in overrides
+        and ("n_fft" in overrides or not meta_path.exists())
         and overrides.get("n_fft", base.n_fft) < 2048
-        and not meta_path.exists()
+        and base.n_mels > 96
     ):
-        # low-nfft mel reduction (tfdataset.py:448-453)
         overrides["n_mels"] = 96
     featurizer = dataclasses.replace(base, **overrides)
     cfg_kwargs = dict(
@@ -138,6 +148,7 @@ def main(argv=None) -> int:
         morepork_model=args.morepork_model,
         weights=args.weights,
         backbone_weights=args.backbone_weights,
+        backbone_imagenet_stats=not args.backbone_weights_custom,
     )
     if train_cfg.model_name == "rf-features":
         from audio_training_tpu.train.harness import train_random_forest

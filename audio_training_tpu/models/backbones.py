@@ -287,6 +287,18 @@ class MBConv(nn.Module):
         in_ch = x.shape[-1]
         y = x
         mid = in_ch * self.expand
+        if self.fused and self.expand == 1:
+            # keras FusedMBConvBlock, expand==1: ONE kxk strided conv
+            # straight to the output filters + BN + activation (no separate
+            # project conv)
+            y = Conv(self.filters, (self.kernel, self.kernel),
+                     strides=(self.stride, self.stride), padding="SAME",
+                     dtype=self.dtype)(y)
+            y = KerasBatchNorm(dtype=self.dtype)(y, train)
+            y = nn.silu(y)
+            if self.stride == 1 and in_ch == self.filters:
+                y = y + x
+            return y
         if self.fused:
             y = Conv(mid, (self.kernel, self.kernel),
                      strides=(self.stride, self.stride), padding="SAME",
@@ -378,18 +390,38 @@ class EfficientNet(nn.Module):
 
 
 class EfficientNetV2(nn.Module):
-    """EfficientNetV2 with fused early stages; variant in
-    {b0, b3, s, m}."""
+    """EfficientNetV2 with fused early stages; variant in {b0, b3, s, m}.
+
+    keras.applications.EfficientNetV2* semantics, including the baked-in
+    input preprocessing (include_preprocessing=True, the default): the
+    B variants on 3-channel input apply Rescaling(1/255) + a Normalization
+    layer with ImageNet mean/var CONSTANTS (no weights); everything else
+    applies Rescaling(1/128, offset=-1).  Stems take
+    round_filters(block1 input_filters); B3 scales by (width 1.2,
+    depth 1.4) including its 1536 head.
+    """
 
     variant: str = "b0"
+    preprocess: bool = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.preprocess:
+            if self.variant.startswith("b") and x.shape[-1] == 3:
+                x = x / 255.0
+                mean = jnp.asarray((0.485, 0.456, 0.406), x.dtype)
+                var = jnp.asarray(
+                    (0.229**2, 0.224**2, 0.225**2), x.dtype
+                )
+                x = (x - mean) / jnp.sqrt(var)
+            else:
+                x = x / 128.0 - 1.0
         specs = {
-            # (expand, filters, repeats, stride, kernel, fused)
+            # (expand, filters, repeats, stride, kernel, fused);
+            # stem/head filters follow keras round_filters
             "b0": [(1, 16, 1, 1, 3, True), (4, 32, 2, 2, 3, True),
                    (4, 48, 2, 2, 3, True), (4, 96, 3, 2, 3, False),
                    (6, 112, 5, 1, 3, False), (6, 192, 8, 2, 3, False)],
@@ -404,8 +436,10 @@ class EfficientNetV2(nn.Module):
                   (6, 176, 14, 1, 3, False), (6, 304, 18, 2, 3, False),
                   (6, 512, 5, 1, 3, False)],
         }
+        stem = {"b0": 32, "b3": 40, "s": 24, "m": 24}[self.variant]
+        head = {"b0": 1280, "b3": 1536, "s": 1280, "m": 1280}[self.variant]
         spec = specs[self.variant]
-        x = Conv(spec[0][1], (3, 3), strides=(2, 2), padding="SAME",
+        x = Conv(stem, (3, 3), strides=(2, 2), padding="SAME",
                  dtype=self.dtype)(x)
         x = KerasBatchNorm(dtype=self.dtype)(x, train)
         x = nn.silu(x)
@@ -413,7 +447,7 @@ class EfficientNetV2(nn.Module):
             for i in range(n):
                 x = MBConv(c, kernel=k, stride=s if i == 0 else 1, expand=t,
                            fused=fused, dtype=self.dtype)(x, train)
-        x = Conv(1280, (1, 1), padding="SAME", dtype=self.dtype)(x)
+        x = Conv(head, (1, 1), padding="SAME", dtype=self.dtype)(x)
         x = KerasBatchNorm(dtype=self.dtype)(x, train)
         return nn.silu(x)
 

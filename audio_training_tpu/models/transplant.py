@@ -246,12 +246,19 @@ _KERAS_APP_BUILDERS = {
 IMAGENET_STDDEV_RGB = (0.229, 0.224, 0.225)
 
 
-def load_keras_backbone(model_name: str, weights_path, input_shape):
+def load_keras_backbone(model_name: str, weights_path, input_shape,
+                        imagenet_stats: bool = True):
     """Build the keras.applications graph for ``model_name`` and load a
     LOCAL weight file into it (TF required; no downloads).  Returns
     ``(keras_model, backbone_args)`` where ``backbone_args`` are the static
     constants (EfficientNet normalization statistics + imagenet rescale) to
-    pass to the flax backbone constructor."""
+    pass to the flax backbone constructor.
+
+    ``imagenet_stats`` controls the EfficientNet-v1 1/sqrt(std) rescale:
+    keras adds that layer ONLY when building with ``weights="imagenet"``,
+    so it belongs with the official ImageNet notop files (the documented
+    use of --backbone-weights); pass False for a weight file saved from a
+    ``weights=None`` graph (e.g. your own fine-tuned checkpoint)."""
     import os
 
     name = model_name.lower()
@@ -283,8 +290,8 @@ def load_keras_backbone(model_name: str, weights_path, input_shape):
     if norm is not None:
         mean, var = norm
         backbone_args += [("norm_mean", mean), ("norm_var", var)]
-    if name.startswith("efficientnet") and not name.startswith(
-        "efficientnetv2"
+    if imagenet_stats and name.startswith("efficientnet") and not (
+        name.startswith("efficientnetv2")
     ):
         # official imagenet EfficientNet weights expect the extra
         # 1/sqrt(std) rescale keras adds for weights="imagenet"

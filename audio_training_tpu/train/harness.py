@@ -294,6 +294,12 @@ def _train_merge_run(run_dir, data_dirs, split_shards, space, ontology,
 
     from audio_training_tpu.data.pipeline import RecordStream, find_shards
     from audio_training_tpu.data.preprocess import make_merge_preprocess_fn
+
+    if train_cfg.num_data_shards > 1:
+        raise ValueError(
+            "merge training does not implement mesh data-parallelism yet; "
+            "run with num_data_shards=1 (--data-shards 1)"
+        )
     from audio_training_tpu.data.schema import (
         MID_FEATURES_SHAPE,
         SHORT_FEATURES_SHAPE,
@@ -318,13 +324,19 @@ def _train_merge_run(run_dir, data_dirs, split_shards, space, ontology,
         )
 
     def batches(stream, mix_stream=None):
-        """Yield ((raw, short, mid), y[, (raw2, short2, mid2), y2])."""
+        """Yield ((raw, short, mid), y[, (raw2, short2, mid2), y2]).
+
+        Eval streams (no mixup partner) emit the final PARTIAL batch —
+        Keras evaluates it (same rule as pipeline.BatchLoader); the mixup
+        zip keeps fixed shapes and drops remainders."""
         it = iter(stream)
         mix_it = iter(mix_stream) if mix_stream is not None else None
 
-        def take(source):
+        def take(source, allow_partial):
             items = list(itertools.islice(source, train_cfg.batch_size))
-            if len(items) < train_cfg.batch_size:
+            if not items or (
+                len(items) < train_cfg.batch_size and not allow_partial
+            ):
                 return None
             raw = jnp.asarray(np.stack([i[0] for i in items]))
             y = jnp.asarray(np.stack([i[1] for i in items]))
@@ -333,13 +345,13 @@ def _train_merge_run(run_dir, data_dirs, split_shards, space, ontology,
             return (raw, s_f, m_f), y
 
         while True:
-            main = take(it)
+            main = take(it, allow_partial=mix_it is None)
             if main is None:
                 return
             if mix_it is None:
                 yield main
                 continue
-            partner = take(mix_it)
+            partner = take(mix_it, allow_partial=False)
             if partner is None:
                 return
             yield (*main, *partner)
@@ -370,11 +382,15 @@ def _train_merge_run(run_dir, data_dirs, split_shards, space, ontology,
             except StopIteration:
                 return
 
+    # built ONCE so the stream's RAM cache (cache=True for non-train
+    # splits) survives across epochs — rebuilding per epoch re-decodes the
+    # gzip shards every epoch (same rule as the main train_run path)
+    val_stream = make_stream("validation", loop=False)
+
     def val_batches():
-        stream = make_stream("validation", loop=False)
-        if stream is None:
+        if val_stream is None:
             return
-        yield from batches(stream)
+        yield from batches(val_stream)
 
     pre_train = make_merge_preprocess_fn(
         cfg, augment=True, mixup_alpha=train_cfg.mixup_alpha,
@@ -484,6 +500,7 @@ def train_run(
     weight_labels: list[str] | None = None,
     split_shards: dict[str, list[Path]] | None = None,
     backbone_weights: str | Path | None = None,
+    backbone_imagenet_stats: bool = True,
 ) -> TrainRunResult:
     """The full training pipeline on real shard data.
 
@@ -700,6 +717,7 @@ def train_run(
         keras_backbone, backbone_args = load_keras_backbone(
             train_cfg.model_name, backbone_weights,
             input_shape=(cfg.n_mels, cfg.mel_frames, channels),
+            imagenet_stats=backbone_imagenet_stats,
         )
         if backbone_args:
             spec = build_model(

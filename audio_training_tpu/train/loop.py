@@ -165,6 +165,14 @@ def fit(
     history: dict[str, list] = {}
     key = jax.random.PRNGKey(seed)
 
+    # built ONCE: a fresh @jax.jit closure per epoch would recompile the
+    # forward pass every epoch (remote compiles cost 23s-951s here)
+    collect_confusion = confusion_labels is not None and run_dir is not None
+    if collect_confusion:
+        from audio_training_tpu.train.step import make_predict_fn
+
+        confusion_predict = make_predict_fn(multi_label=multi_label)
+
     epoch = 0
     for epoch in range(epochs):
         t0 = time.time()
@@ -191,13 +199,8 @@ def fit(
         logs = {f"{k}": v for k, v in logs.items()}
 
         if val_batches is not None:
-            collect = (
-                confusion_labels is not None and run_dir is not None
-            )
+            collect = collect_confusion
             if collect:
-                from audio_training_tpu.train.step import make_predict_fn
-
-                predict = make_predict_fn(multi_label=multi_label)
                 y_true_parts, y_pred_parts = [], []
             vmetrics = metrics_init()
             for batch in val_batches():
@@ -206,7 +209,9 @@ def fit(
                 mel, yy = val_preprocess(raw, y)
                 vmetrics = eval_step(state, vmetrics, mel, yy, latlng=latlng)
                 if collect:
-                    y_pred_parts.append(np.asarray(predict(state, mel)))
+                    y_pred_parts.append(
+                        np.asarray(confusion_predict(state, mel))
+                    )
                     y_true_parts.append(np.asarray(yy))
             for k, v in metrics_compute(vmetrics).items():
                 logs[f"val_{k}"] = v

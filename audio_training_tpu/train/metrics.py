@@ -180,13 +180,18 @@ def metrics_update(
         if multi_label
         else categorical_accuracy(probs, labels)
     )
+    # per-batch means are weighted by batch size so a partial tail batch
+    # (pipeline.BatchLoader emits them on eval streams) contributes
+    # proportionally, not equally, to the epoch means
+    w = jnp.float32(probs.shape[0])
     return {
         "confusion": confusion_update(state["confusion"], probs, labels),
-        "loss_sum": state["loss_sum"] + loss,
-        "acc_sum": state["acc_sum"] + acc,
-        "focal_sum": state["focal_sum"] + focal_bce_from_logits(logits, labels),
-        "huber_sum": state["huber_sum"] + huber(probs, labels),
-        "count": state["count"] + 1.0,
+        "loss_sum": state["loss_sum"] + loss * w,
+        "acc_sum": state["acc_sum"] + acc * w,
+        "focal_sum": state["focal_sum"]
+        + focal_bce_from_logits(logits, labels) * w,
+        "huber_sum": state["huber_sum"] + huber(probs, labels) * w,
+        "count": state["count"] + w,
     }
 
 

@@ -47,8 +47,6 @@ ITERS = 8
 
 
 def _measure(run, raw, batch, seconds_per_clip):
-    import jax  # noqa: F401
-
     float(run(raw))  # compile + warm
     t0 = time.perf_counter()
     float(run(raw))  # host fetch of the scalar forces the whole chain

@@ -46,7 +46,14 @@ def _randomize_keras_weights(tf, model, seed=0, scaled=False):
     rng = np.random.default_rng(seed)
     for w in model.weights:
         name = getattr(w, "path", None) or w.name
-        if "normalization" in name or "float" not in str(w.dtype):
+        # skip the stem Normalization layer's statistics only — match the
+        # leading path segment exactly, NOT a substring ("normalization"
+        # also appears inside every batch_normalization weight path)
+        seg = name.split("/")[0]
+        is_stem_norm = seg == "normalization" or (
+            seg.startswith("normalization_") and seg[14:].isdigit()
+        )
+        if is_stem_norm or "float" not in str(w.dtype):
             continue
         shape = tuple(w.shape)
         if "variance" in name:
@@ -308,6 +315,34 @@ def test_wr_resnet_production_depth_parity(tf):
 
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_efficientnetv2b0_backbone_parity(tf):
+    """Flax EfficientNetV2 vs keras.applications.EfficientNetV2B0
+    (weights=None, include_top=False, include_preprocessing default True —
+    the baked Rescaling(1/255) + constant ImageNet Normalization stem)."""
+    import jax
+
+    from audio_training_tpu.models.backbones import EfficientNetV2
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    shape = (96, 101, 3)
+    keras_model = tf.keras.applications.EfficientNetV2B0(
+        weights=None, include_top=False, input_shape=shape
+    )
+    _randomize_keras_weights(tf, keras_model, seed=19, scaled=True)
+
+    rng = np.random.default_rng(20)
+    x = (rng.uniform(0.0, 255.0, (2, *shape))).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = EfficientNetV2(variant="b0")
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3)
 
 
 def test_backbone_weight_import_local_file(tf, tmp_path):
