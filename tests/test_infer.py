@@ -127,6 +127,37 @@ def test_aggregate_empty_track():
 # ---------------------------------------------------------------------------
 
 
+def test_make_fused_infer_fn_backends_agree():
+    """The one-shot fused infer API: rfft-forced and auto backends produce
+    the same probabilities (exact-parity featurizer tiers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_training_tpu.infer import make_fused_infer_fn
+    from audio_training_tpu.models import build_model
+
+    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96,
+                           fmax=3500.0)
+    spec = build_model("badwinner2", num_labels=3, logits_only=True)
+    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
+    variables = spec.module.init({"params": jax.random.PRNGKey(0)}, mel0,
+                                 train=False)
+    raw = jnp.asarray(
+        np.random.default_rng(5).standard_normal(
+            (2, cfg.samples_per_clip)
+        ).astype(np.float32)
+    )
+    infer_auto = make_fused_infer_fn(spec.module, variables, cfg,
+                                     probabilities=True)
+    infer_rfft = make_fused_infer_fn(spec.module, variables, cfg,
+                                     use_pallas=False, probabilities=True)
+    a = np.asarray(infer_auto(raw))
+    b = np.asarray(infer_rfft(raw))
+    assert a.shape == (2, 3)
+    assert (a >= 0).all() and (a <= 1).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_predictor_end_to_end():
     import jax.numpy as jnp
 
