@@ -406,6 +406,78 @@ def test_backbone_weight_import_local_file(tf, tmp_path):
         load_keras_backbone("resnet", tmp_path / "nope.h5", shape)
 
 
+def test_train_run_with_backbone_weights(tf, tmp_path):
+    """End-to-end: train_run --model-name resnet --backbone-weights <local
+    h5> imports the trunk (stem kernel equals the keras source) and trains;
+    the PCEN frontend and Dense head start fresh."""
+    import json
+
+    import jax.numpy as jnp
+
+    from audio_training_tpu.config import FeaturizerConfig, TrainConfig
+    from audio_training_tpu.data.schema import SampleRecord, encode_sample
+    from audio_training_tpu.data.tfrecord import write_tfrecords
+    from audio_training_tpu.train.harness import train_run
+
+    sr, seg = 8000, 2.0
+    fz = FeaturizerConfig(sr=sr, n_fft=512, hop_length=100, n_mels=96,
+                          fmin=100, fmax=3500, segment_length=seg)
+    shape = (fz.n_mels, fz.mel_frames, 1)
+
+    src = tf.keras.applications.ResNet50(
+        weights=None, include_top=False, input_shape=shape
+    )
+    wpath = tmp_path / "rn50.weights.h5"
+    src.save_weights(str(wpath))
+    stem_kernel = src.get_layer("conv1_conv").kernel.numpy()
+
+    rng = np.random.default_rng(21)
+    data = tmp_path / "training-data"
+    labels = ["kiwi", "rain"]
+    recs = []
+    for i in range(4):
+        raw = (0.1 * rng.standard_normal(fz.samples_per_clip)).astype(
+            np.float32)
+        recs.append(encode_sample(SampleRecord(
+            raw=raw, tags=[labels[i % 2]], rec_id=f"t{i}", sr=sr,
+        )))
+    write_tfrecords(data / "train" / "00.tfrecord", recs)
+    (data / "training-meta.json").write_text(json.dumps({
+        "labels": labels, "type": "audio",
+        "counts": {"train": {"sample_counts": {l: 2 for l in labels},
+                             "rec_counts": {l: 2 for l in labels}},
+                   "validation": {"sample_counts": {l: 1 for l in labels},
+                                  "rec_counts": {l: 1 for l in labels}}},
+    }))
+
+    cfg = TrainConfig(model_name="resnet", batch_size=2, learning_rate=1e-4,
+                      epochs=1, compute_dtype="float32")
+    result = train_run(
+        [data], "rnimport", checkpoint_root=tmp_path / "ckpt",
+        train_cfg=cfg, featurizer=fz, epochs=1, steps_per_epoch=1,
+        confusion=False, backbone_weights=wpath,
+    )
+    assert np.isfinite(result.history["loss"]).all()
+
+    # the restored checkpoint carries the imported stem kernel (modulo the
+    # one optimizer step at lr=1e-4)
+    from audio_training_tpu.train.checkpoints import restore_into
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.train.state import create_train_state
+
+    spec = build_model("resnet", num_labels=len(result.labels),
+                       logits_only=True)
+    state = create_train_state(
+        spec.module, (jnp.zeros((1, *shape), jnp.float32),),
+        learning_rate=1e-4,
+    )
+    state = restore_into(state, result.run_dir / "chkpt")
+    bk = [k for k in state.params if k.startswith("ResNet")][0]
+    got = np.asarray(state.params[bk]["Conv_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(got, stem_kernel, atol=5e-4)
+    assert not np.allclose(got, 0)
+
+
 def test_badwinner2_res_logit_parity(tf):
     """badwinner2-res (build_model_res, badwinner2.py:127-209) vs the
     reference graph: 4-conv res blocks, 48x3 condense, orthogonal head."""
