@@ -49,6 +49,10 @@ class BadWinner2(nn.Module):
     dropout: float = 0.5
     leaky_alpha: float = 0.01
     logits_only: bool = False
+    # input already ran MagTransform + per-mel-row BN (the fused Pallas
+    # featurizer can apply the frontend in-kernel at inference,
+    # ops/pallas/fused_featurizer.py frontend_params) — skip it here
+    external_frontend: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -56,11 +60,11 @@ class BadWinner2(nn.Module):
         n_mels = x.shape[1]
         a = self.leaky_alpha
 
-        x = MagTransform()(x)
-        # per-mel-row norm, beta/gamma off (badwinner2.py:233)
-        x = KerasBatchNorm(feature_axis=1, use_scale=False, use_bias=False)(
-            x, train
-        )
+        if not self.external_frontend:
+            x = MagTransform()(x)
+            # per-mel-row norm, beta/gamma off (badwinner2.py:233)
+            x = KerasBatchNorm(feature_axis=1, use_scale=False,
+                               use_bias=False)(x, train)
         if self.dtype is not None:
             x = x.astype(self.dtype)
 

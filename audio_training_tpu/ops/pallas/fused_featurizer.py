@@ -134,24 +134,46 @@ def pack_mel_flat(mel_weights: np.ndarray) -> np.ndarray:
 
 
 def _featurizer_kernel(
-    params_ref,  # SMEM (8,): gain bias root smooth eps ...
+    params_ref,  # SMEM (8,): gain bias root smooth eps a_power ...
     raw_ref,  # (1, 1, L) one clip
     d1ri_ref,  # (2*R1, R1)
     e_re_ref,  # (R1, 2*K2C, R2)
     e_im_ref,  # (R1, 2*K2C, R2)
     win_ref,  # (1, N_FFT)
     melw_ref,  # (M_pad, R1*K2C)
-    out_ref,  # (1, M_pad, n_tiles*tile)
-    frames_scr,  # (tile, N_FFT) f32
-    *,
+    *rest,  # [stats_ref (M_pad, 2) when frontend] out_ref, frames_scr
     hop: int,
     tile: int,
     n_tiles: int,
     precision: str,
     do_pcen: bool,
+    norm_wave_len: int = 0,
+    frontend: bool = False,
 ):
+    """norm_wave_len > 0 folds the per-clip waveform min-max normalize
+    (ops.features.normalize_rows, tfdataset.py:1916-1934) into the framing
+    affine; ``frontend`` applies badwinner2's MagTransform + per-mel-row BN
+    (badwinner2.py:230-233) to the mel output — the whole pre-CNN chain
+    then runs in this one kernel."""
+    if frontend:
+        stats_ref, out_ref, frames_scr = rest
+    else:
+        out_ref, frames_scr = rest
     m_pad = out_ref.shape[1]
     win = win_ref[:]
+    win_bias = None
+    if norm_wave_len:
+        # y = 2*((x - mn)/(mx - mn) + 1e-6 - 0.5): fold into the window
+        # multiply as y*win = x*(scale*win) + (bias*win).  The zero pad
+        # beyond the clip must stay zero in NORMALIZED space (tf pad_end
+        # pads the normalized signal), handled by static masking below.
+        seg = raw_ref[0, :, :norm_wave_len]
+        mn = jnp.min(seg)
+        rng_v = jnp.max(seg) - mn
+        scale = 2.0 / rng_v
+        bias = 2e-6 - 1.0 - 2.0 * mn / rng_v
+        win_bias = win * bias
+        win = win * scale
 
     if do_pcen:
         gain = jnp.minimum(params_ref[0], 1.0)
@@ -185,9 +207,21 @@ def _featurizer_kernel(
         # operands, whose 16-sublane packing degrades the contracted-
         # sublane-dim dots).  See docs/PERFORMANCE.md round 3.
         for i in range(tile):
-            frames_scr[i : i + 1, :] = (
-                raw_ref[0, :, base + hop * i : base + hop * i + N_FFT] * win
-            )
+            start = base + hop * i
+            row = raw_ref[0, :, start : start + N_FFT] * win
+            if win_bias is not None:
+                # static per-frame boundary: samples past the clip are
+                # zero-padding of the NORMALIZED signal, so the affine
+                # bias must not leak into them
+                v = min(max(norm_wave_len - start, 0), N_FFT)
+                if v == N_FFT:
+                    row = row + win_bias
+                elif v > 0:
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, N_FFT), 1
+                    )
+                    row = row + jnp.where(lane < v, win_bias, 0.0)
+            frames_scr[i : i + 1, :] = row
 
         # ---- stage 1: contract n1; re/im stacked into M ----------------
         x2 = frames_scr[:].reshape(tile, R1, R2)  # (F, n1, n2)
@@ -214,6 +248,17 @@ def _featurizer_kernel(
         )  # (M_pad, F)
 
         if not do_pcen:
+            if frontend:
+                # badwinner2 frontend: x**sigmoid(a) (MagTransform,
+                # badwinner2.py:32-49) then the per-mel-row BN affine
+                # y = x*s + b with s = 1/sqrt(var+eps), b = -mean*s
+                # (BatchNorm(axis=1, no scale/center), badwinner2.py:233).
+                # mel >= 0; the 1e-30 clamp maps power 0 to ~exp(-69g)~=0
+                # (denormals flush to zero on this backend).
+                a_pw = jnp.clip(params_ref[5], -2.0, 1.0)
+                gpow = 1.0 / (1.0 + jnp.exp(-a_pw))
+                mel = jnp.exp(gpow * jnp.log(jnp.maximum(mel, 1e-30)))
+                mel = mel * stats_ref[:, 0:1] + stats_ref[:, 1:2]
             out_ref[0, :, g * tile : (g + 1) * tile] = mel
             continue
 
@@ -245,7 +290,7 @@ def _featurizer_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("hop", "tile", "n_tiles", "precision", "do_pcen",
-                     "interpret"),
+                     "interpret", "norm_wave_len"),
 )
 def _fused_call(
     raw_padded: jax.Array,  # (B, L) f32, L covers the last tile's reads
@@ -257,14 +302,18 @@ def _fused_call(
     precision: str,
     do_pcen: bool,
     interpret: bool,
+    norm_wave_len: int = 0,
+    fe_stats: jax.Array | None = None,  # (M_pad, 2) badwinner2 BN affine
 ) -> jax.Array:
     b, length = raw_padded.shape
     raw_padded = raw_padded.reshape(b, 1, length)
     m_pad = melw_pad.shape[0]
     consts = _dft_constants(hop)
+    frontend = fe_stats is not None
     kernel = functools.partial(
         _featurizer_kernel, hop=hop, tile=tile, n_tiles=n_tiles,
         precision=precision, do_pcen=do_pcen,
+        norm_wave_len=norm_wave_len, frontend=frontend,
     )
 
     def const_spec(shape):
@@ -277,19 +326,25 @@ def _fused_call(
     d1ri = jnp.asarray(consts["d1ri"])
     e_re = jnp.asarray(consts["e_re"])
     e_im = jnp.asarray(consts["e_im"])
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, length), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const_spec((2 * R1, R1)),
+        const_spec((R1, 2 * K2C, R2)),
+        const_spec((R1, 2 * K2C, R2)),
+        const_spec((1, N_FFT)),
+        const_spec((m_pad, R1 * K2C)),
+    ]
+    operands = [params, raw_padded, d1ri, e_re, e_im,
+                jnp.asarray(consts["win"]), melw_pad]
+    if frontend:
+        in_specs.append(const_spec((m_pad, 2)))
+        operands.append(fe_stats)
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, length), lambda bb: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const_spec((2 * R1, R1)),
-            const_spec((R1, 2 * K2C, R2)),
-            const_spec((R1, 2 * K2C, R2)),
-            const_spec((1, N_FFT)),
-            const_spec((m_pad, R1 * K2C)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, m_pad, frames_total), lambda bb: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((tile, N_FFT), jnp.float32)],
@@ -311,8 +366,7 @@ def _fused_call(
             transcendentals=int(b * n_tiles * m_pad * tile * 4),
         ),
         interpret=interpret,
-    )(params, raw_padded, d1ri, e_re, e_im, jnp.asarray(consts["win"]),
-      melw_pad)
+    )(*operands)
 
 
 class FusedFeaturizer:
@@ -387,10 +441,30 @@ class FusedFeaturizer:
         pcen: bool = True,
         normalize: bool = True,
         interpret: bool | None = None,
+        normalize_waveform: bool = False,
+        frontend_params: tuple | None = None,
     ) -> jax.Array:
-        """(B, samples) -> (B, n_mels, frames) mel power or PCEN image."""
+        """(B, samples) -> (B, n_mels, frames) mel power or PCEN image.
+
+        ``normalize_waveform`` folds the per-clip min-max normalize
+        (ops.features.normalize_rows) into the kernel's framing affine.
+        ``frontend_params = (a_power, bn_mean, bn_var)`` additionally
+        applies badwinner2's MagTransform + per-mel-row BN to the mel
+        output (badwinner2.py:230-233) so the entire pre-CNN chain runs in
+        ONE kernel (mutually exclusive with ``pcen``)."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if frontend_params is not None and pcen:
+            raise ValueError(
+                "frontend_params is the badwinner2 frontend; PCEN fronts "
+                "the pretrained-backbone models only"
+            )
+        if self.center and (normalize_waveform or frontend_params):
+            raise ValueError(
+                "normalize_waveform/frontend_params implement the training "
+                "pipeline's tf-stft convention, not the centered one"
+            )
+        norm_wave_len = raw.shape[-1] if normalize_waveform else 0
         if self.center:
             frames = num_frames_centered(raw.shape[-1], self.hop)
             half = N_FFT // 2
@@ -398,9 +472,20 @@ class FusedFeaturizer:
         else:
             frames = num_frames_tf(raw.shape[-1], self.hop)
         tile, n_tiles = self._tiling(frames)
+        params = self.params
+        fe_stats = None
+        if frontend_params is not None:
+            a_power, bn_mean, bn_var = frontend_params
+            params = params.at[5].set(jnp.asarray(a_power).reshape(()))
+            s = 1.0 / jnp.sqrt(jnp.asarray(bn_var) + 1e-3)  # Keras BN eps
+            b = -jnp.asarray(bn_mean) * s
+            fe_stats = jnp.zeros((self.m_pad, 2), jnp.float32)
+            fe_stats = fe_stats.at[: self.n_mels, 0].set(s)
+            fe_stats = fe_stats.at[: self.n_mels, 1].set(b)
         out = _fused_call(
-            self._padded(raw, tile, n_tiles), self.params, self.melw_pad,
+            self._padded(raw, tile, n_tiles), params, self.melw_pad,
             self.hop, tile, n_tiles, self.precision, pcen, interpret,
+            norm_wave_len=norm_wave_len, fe_stats=fe_stats,
         )[:, : self.n_mels, :frames]
         if pcen and normalize:
             max_v = jnp.max(out)

@@ -117,6 +117,11 @@ def main() -> None:
     }), flush=True)
 
     # ---- chain 2 (official): normalize -> mel -> badwinner2 logits -------
+    # NOTE: folding normalize_rows + the MagTransform/mel-BN frontend INTO
+    # the featurizer kernel (FusedFeaturizer frontend_params) measured
+    # 17,864 vs 18,120 audio-s/s — XLA already overlaps those elementwise
+    # passes with the conv pipeline, while in-kernel they serialize with
+    # the DFT dots.  The unfused composition stays the bench configuration.
     spec = build_model(
         "badwinner2", num_labels=num_labels, logits_only=True,
         dtype=jnp.bfloat16,

@@ -141,3 +141,43 @@ def test_batch_one_and_odd_batch(cfg, mel_w):
         out = np.asarray(fz(raw, pcen=False, interpret=True))
         assert out.shape == (b, cfg.n_mels, cfg.mel_frames)
         assert np.isfinite(out).all()
+
+
+def test_normalize_and_frontend_fold(cfg, mel_w, raw):
+    """The in-kernel waveform normalize + badwinner2 frontend
+    (MagTransform + per-mel-row BN) matches the unfused composition:
+    normalize_rows -> mel -> x**sigmoid(a) -> BN affine."""
+    import jax
+
+    from audio_training_tpu.ops.features import normalize_rows
+
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    rng = np.random.default_rng(11)
+    a_power = jnp.asarray([-0.7], jnp.float32)
+    bn_mean = jnp.asarray(rng.normal(0.5, 0.2, cfg.n_mels), jnp.float32)
+    bn_var = jnp.asarray(rng.uniform(0.5, 2.0, cfg.n_mels), jnp.float32)
+
+    got = fz(raw, pcen=False, normalize_waveform=True,
+             frontend_params=(a_power, bn_mean, bn_var))
+
+    plan = MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    mel = plan(normalize_rows(raw))
+    g = jax.nn.sigmoid(jnp.clip(a_power, -2.0, 1.0))
+    expected = jnp.power(mel, g)
+    s = 1.0 / jnp.sqrt(bn_var + 1e-3)
+    expected = (expected - bn_mean[None, :, None]) * s[None, :, None]
+
+    got = np.asarray(got)
+    expected = np.asarray(expected)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_frontend_pcen_mutually_exclusive(cfg, mel_w, raw):
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length)
+    with pytest.raises(ValueError, match="frontend"):
+        fz(raw, pcen=True,
+           frontend_params=(jnp.zeros(1), jnp.zeros(cfg.n_mels),
+                            jnp.ones(cfg.n_mels)))
