@@ -61,6 +61,15 @@ def parse_args(argv=None):
                              "per-sample embedding in each record "
                              "(audiowriter DO_EMBEDDING parity)")
     parser.add_argument("--shards-per-worker", default=4, type=int)
+    parser.add_argument("--signal", action="count",
+                        help="Treat <dir> as a pre-split signal-WAV tree "
+                             "({train,validation,test}/<label>-<n>.wav) and "
+                             "build records from it "
+                             "(build.dataset_from_signal)")
+    parser.add_argument("--create-signal-wavs", default=None,
+                        help="Instead of building records, export per-tag "
+                             "signal-region audio chunks to this directory "
+                             "(build.create_signal_data)")
     return parser.parse_args(argv)
 
 
@@ -78,6 +87,21 @@ def main(argv=None) -> int:
         segment_length=args.seg_length, segment_stride=args.stride,
     )
 
+    if args.signal:
+        from audio_training_tpu.corpus.signal_data import build_signal_dataset
+
+        # signal WAVs carry no RMS metadata and are already distilled to
+        # vocalization audio — tightening/RMS-filtering would drop them all
+        signal_sampling = SamplingConfig(tighten_tracks=False,
+                                         filter_rms=False)
+        out = build_signal_dataset(
+            args.dir, args.out_dir, sampling=signal_sampling,
+            featurizer=featurizer, num_workers=args.workers,
+            shards_per_worker=args.shards_per_worker,
+        )
+        logging.info("Signal dataset build complete: %s", out)
+        return 0
+
     dataset = AudioDataset("all", sampling,
                            segment_length=args.seg_length,
                            segment_stride=args.stride)
@@ -85,6 +109,15 @@ def main(argv=None) -> int:
     logging.info("Loaded %s recordings, %s samples, labels %s",
                  len(dataset.recs), len(dataset.samples),
                  sorted(dataset.labels))
+
+    if args.create_signal_wavs:
+        from audio_training_tpu.corpus.signal_data import export_signal_data
+
+        n = export_signal_data(dataset, args.create_signal_wavs,
+                               sr=args.sr)
+        logging.info("Wrote %s signal-audio chunks to %s", n,
+                     args.create_signal_wavs)
+        return 0
 
     if args.split_file:
         split = json.loads(Path(args.split_file).read_text())

@@ -339,3 +339,75 @@ def test_writer_add_features(tmp_path, corpus):
     assert d.short_features is not None and d.mid_features is not None
     assert d.short_features.reshape(68, -1).shape[0] == 68
     assert d.mid_features.reshape(136, -1).shape[0] == 136
+
+
+def test_export_signal_data(tmp_path):
+    """--create-signal-wavs (build.create_signal_data, build.py:840-912):
+    per tag-key signal-region audio chunks + JSON offset index."""
+    from audio_training_tpu.corpus.signal_data import export_signal_data
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "corpus"
+    root.mkdir()
+    # 10 s recording, one kiwi track 1-6 s, signal spans at 1.5-2.5 and
+    # 3.0-4.0 s (inside the track) and 8.0-9.0 s (outside)
+    audio = (0.05 * rng.standard_normal(10 * SR)).astype(np.float32)
+    audio[int(1.5 * SR):int(2.5 * SR)] = 0.5
+    save_wav(root / "r1.wav", audio, SR)
+    meta = make_meta(
+        "r1", [{"start": 1.0, "end": 6.0, "what": "kiwi"}],
+        signal=[[1.5, 2.5, 2000], [3.0, 4.0, 2000], [8.0, 9.0, 2000]],
+    )
+    (root / "r1.txt").write_text(json.dumps(meta))
+
+    from audio_training_tpu.corpus.audioio import load_recording
+
+    ds = AudioDataset("all", NO_RMS)
+    ds.load_meta(root)
+    out = tmp_path / "sigout"
+    n = export_signal_data(ds, out, sr=SR, min_seconds=0.5)
+    assert n >= 1
+    wavs = sorted(out.glob("kiwi-*.wav"))
+    assert wavs
+    frames, sr = load_recording(wavs[0], target_sr=None)
+    # two overlapping spans of 1 s each -> ~2 s of concatenated signal
+    assert abs(len(frames) / sr - 2.0) < 0.05
+    idx = json.loads(wavs[0].with_suffix(".txt").read_text())
+    (rec_key, track_map), = idx["recs"].items()
+    assert rec_key == "r1"
+    (span,), = [list(track_map.values())]
+    assert span[0] == 0 and abs(span[1] - 2 * SR) <= 2
+
+
+def test_build_signal_dataset_cli(tmp_path):
+    """--signal (build.dataset_from_signal, build.py:248-330): a pre-split
+    signal-WAV tree becomes TFRecord shards with filename-derived labels."""
+    from audio_training_tpu.cli.build import main as build_main
+
+    rng = np.random.default_rng(1)
+    sig = tmp_path / "signals"
+    for split, labels in (("train", ["kiwi", "kiwi", "rain"]),
+                          ("validation", ["kiwi", "rain"])):
+        d = sig / split
+        d.mkdir(parents=True)
+        for i, label in enumerate(labels):
+            audio = (0.1 * rng.standard_normal(4 * SR)).astype(np.float32)
+            save_wav(d / f"{label}-{i}.wav", audio, SR)
+
+    rc = build_main([
+        str(tmp_path / "out"), "-d", str(sig), "--signal",
+        "--sr", str(SR), "--n-fft", "512", "--hop-length", "100",
+        "--mels", "32", "--fmax", "3500",
+        "--seg-length", "3", "--stride", "1", "--workers", "1",
+    ])
+    assert rc == 0
+    data = tmp_path / "out" / "training-data"
+    meta = json.loads((data / "training-meta.json").read_text())
+    assert sorted(meta["labels"]) == ["kiwi", "rain"]
+    assert meta["counts"]["train"]["sample_counts"]["kiwi"] >= 2
+    train_shards = find_shards(data, "train")
+    assert train_shards
+    tags = set()
+    for rec in read_tfrecords(train_shards[0]):
+        tags.update(decode_sample(rec).tags)
+    assert tags <= {"kiwi", "rain"} and tags
