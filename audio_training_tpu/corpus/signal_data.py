@@ -28,19 +28,20 @@ from pathlib import Path
 import numpy as np
 
 from audio_training_tpu.config import FeaturizerConfig, SamplingConfig
-from audio_training_tpu.corpus.audioio import load_recording, save_wav
-from audio_training_tpu.corpus.dataset import AudioDataset, Recording
+from audio_training_tpu.corpus.audioio import (
+    load_recording,
+    probe_duration,
+    save_wav,
+)
+from audio_training_tpu.corpus.dataset import (
+    AUDIO_SUFFIXES,
+    AudioDataset,
+    Recording,
+)
 from audio_training_tpu.corpus.writer import create_tf_records
 from audio_training_tpu.corpus.split import write_training_meta
 
 log = logging.getLogger(__name__)
-
-AUDIO_SUFFIXES = (".wav", ".mp3", ".m4a", ".flac")
-
-
-def _tags_key(track) -> str:
-    # Track.tags_key (audiodataset.py:1125-1128)
-    return "-".join(sorted(track.human_tags))
 
 
 def _track_signal_audio(rec, track, frames: np.ndarray, sr: int) -> np.ndarray:
@@ -86,7 +87,8 @@ def export_signal_data(
 
     def flush(key: str, force: bool) -> int:
         counter, data, meta = acc[key]
-        if not data or (not force and len(data) <= sr * min_seconds):
+        n_samples = sum(len(d) for d in data)
+        if not data or (not force and n_samples <= sr * min_seconds):
             return 0
         chunk = np.concatenate(data).astype(np.float32)
         save_wav(output_path / f"{key}-{counter}.wav", chunk, sr)
@@ -107,7 +109,7 @@ def export_signal_data(
             audio = _track_signal_audio(rec, track, frames, sr)
             if audio.size == 0:
                 continue
-            key = _tags_key(track)
+            key = track.tags_key
             if key not in acc:
                 acc[key] = [1, [], {"recs": {}}]
             counter, data, meta = acc[key]
@@ -156,12 +158,18 @@ def build_signal_dataset(
                     log.warning("no label prefix in %s; skipping", audio)
                     continue
                 label = stem[: stem.rindex("-")]
-                try:
-                    frames, sr = load_recording(audio, target_sr=None)
-                except Exception:
-                    log.warning("could not load %s", audio, exc_info=True)
-                    continue
-                duration = len(frames) / sr
+                # header/probe duration only — create_tf_records decodes the
+                # audio itself; a full decode here would read each (often
+                # minutes-long) file twice per build
+                duration = probe_duration(audio)
+                if duration is None:
+                    try:
+                        frames, sr = load_recording(audio, target_sr=None)
+                        duration = len(frames) / sr
+                    except Exception:
+                        log.warning("could not load %s", audio,
+                                    exc_info=True)
+                        continue
                 rec_id += 1
                 track_id += 1
                 meta = {

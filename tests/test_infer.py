@@ -129,15 +129,18 @@ def test_aggregate_empty_track():
 
 def test_make_fused_infer_fn_backends_agree():
     """The one-shot fused infer API: rfft-forced and auto backends produce
-    the same probabilities (exact-parity featurizer tiers)."""
+    the same probabilities.  n_fft=4096 so 'auto' resolves to the
+    matmul-FFT backend on CPU — a DIFFERENT implementation than the forced
+    rfft one (with n_fft<4096 both would silently be rfft and the
+    comparison vacuous)."""
     import jax
     import jax.numpy as jnp
 
     from audio_training_tpu.infer import make_fused_infer_fn
     from audio_training_tpu.models import build_model
 
-    cfg = FeaturizerConfig(sr=SR, n_fft=512, hop_length=100, n_mels=96,
-                           fmax=3500.0)
+    cfg = FeaturizerConfig(sr=16000, n_fft=4096, hop_length=281, n_mels=96,
+                           fmax=7000.0)
     spec = build_model("badwinner2", num_labels=3, logits_only=True)
     mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 1), jnp.float32)
     variables = spec.module.init({"params": jax.random.PRNGKey(0)}, mel0,

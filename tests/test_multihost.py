@@ -64,16 +64,11 @@ with open(out_path, "w") as f:
 """
 
 
-@pytest.mark.slow
-def test_two_process_distributed_mesh(tmp_path):
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
-    procs = []
-    outs = []
+def _spawn_workers(tmp_path, port):
+    procs, outs = [], []
     for pid in range(2):
         out = tmp_path / f"out{pid}.json"
+        out.unlink(missing_ok=True)
         outs.append(out)
         env = {
             "PATH": "/usr/bin:/bin:/usr/local/bin",
@@ -87,16 +82,36 @@ def test_two_process_distributed_mesh(tmp_path):
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         ))
-    results = {}
-    for p, out in zip(procs, outs):
+    errors = []
+    for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=180)
+            _, stderr = p.communicate(timeout=180)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("distributed worker timed out")
-        assert p.returncode == 0, stderr.decode()[-2000:]
-        results[out] = json.loads(out.read_text())
-    for out, r in results.items():
+            return None, ["worker timed out"]
+        if p.returncode != 0:
+            errors.append(stderr.decode()[-2000:])
+    if errors:
+        return None, errors
+    return [json.loads(o.read_text()) for o in outs], []
+
+
+@pytest.mark.slow
+def test_two_process_distributed_mesh(tmp_path):
+    # the port can be sniped between discovery and the coordinator's bind —
+    # retry once on a fresh port rather than flake
+    errors = []
+    for _attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        results, errors = _spawn_workers(tmp_path, port)
+        if results is not None:
+            break
+    else:
+        pytest.fail("distributed workers failed twice: "
+                    + " | ".join(errors))
+    for r in results:
         # every host computed the sum over the FULL global batch
         assert r["value"] == r["expected"], r
