@@ -223,6 +223,10 @@ class MobileNetV2(nn.Module):
 
 
 class DenseNet(nn.Module):
+    """keras.applications DenseNet semantics: explicit (3,3)/(1,1) stem pads
+    with VALID conv/pool (the symmetric pads differ from XLA SAME on even
+    inputs) and BN eps 1.001e-5 throughout."""
+
     blocks: Sequence[int] = (6, 12, 24, 16)  # 121
     growth: int = 32
     dtype: Any = None
@@ -231,27 +235,31 @@ class DenseNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = Conv(64, (7, 7), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
-        x = KerasBatchNorm(dtype=self.dtype)(x, train)
+        eps = RESNET_BN_EPS  # densenet uses the same 1.001e-5
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = Conv(64, (7, 7), strides=(2, 2), padding="VALID",
+                 dtype=self.dtype)(x)
+        x = KerasBatchNorm(epsilon=eps, dtype=self.dtype)(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         for bi, n in enumerate(self.blocks):
             for _ in range(n):
-                y = KerasBatchNorm(dtype=self.dtype)(x, train)
+                y = KerasBatchNorm(epsilon=eps, dtype=self.dtype)(x, train)
                 y = nn.relu(y)
                 y = Conv(4 * self.growth, (1, 1), padding="SAME",
                          dtype=self.dtype)(y)
-                y = KerasBatchNorm(dtype=self.dtype)(y, train)
+                y = KerasBatchNorm(epsilon=eps, dtype=self.dtype)(y, train)
                 y = nn.relu(y)
                 y = Conv(self.growth, (3, 3), padding="SAME", dtype=self.dtype)(y)
                 x = jnp.concatenate([x, y], axis=-1)
             if bi != len(self.blocks) - 1:
-                x = KerasBatchNorm(dtype=self.dtype)(x, train)
+                x = KerasBatchNorm(epsilon=eps, dtype=self.dtype)(x, train)
                 x = nn.relu(x)
                 x = Conv(x.shape[-1] // 2, (1, 1), padding="SAME",
                          dtype=self.dtype)(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = KerasBatchNorm(dtype=self.dtype)(x, train)
+        x = KerasBatchNorm(epsilon=eps, dtype=self.dtype)(x, train)
         return nn.relu(x)
 
 

@@ -198,7 +198,9 @@ def transplant_keras_weights(variables, keras_model):
         set_path(slot["var"], layer.moving_variance.numpy())
 
     for layer, slot in zip(kinds["mag"], slots["mag"]):
-        set_path(slot["a"], layer.weights[0].numpy())
+        # badwinner v1's MagTransform stores a scalar (), v2 a (1,) vector
+        # (badwinner.py:31-44 vs badwinner2.py:32-49); flax always uses (1,)
+        set_path(slot["a"], layer.weights[0].numpy().reshape(-1))
 
     for layer, slot in zip(kinds["pcen"], slots["pcen"]):
         by_name = {w.name.split("/")[-1].split(":")[0]: w for w in layer.weights}

@@ -317,6 +317,83 @@ def test_wr_resnet_production_depth_parity(tf):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("name,keras_name,module_kwargs", [
+    ("vgg16", "VGG16", {"blocks": (2, 2, 3, 3, 3)}),
+    ("mobilenet", "MobileNetV2", {}),
+    ("densenet121", "DenseNet121", {"blocks": (6, 12, 24, 16)}),
+])
+def test_more_backbones_parity(tf, name, keras_name, module_kwargs):
+    """Remaining keras.applications trunks of the reference's
+    get_base_model dispatch (audiomodel.py:1005-1141), anchored with
+    weights=None logit parity like ResNet50/EfficientNetB0."""
+    import jax
+
+    from audio_training_tpu.models import backbones
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    module_cls = {"vgg16": backbones.VGG, "mobilenet": backbones.MobileNetV2,
+                  "densenet121": backbones.DenseNet}[name]
+    shape = (96, 101, 3)
+    keras_model = getattr(tf.keras.applications, keras_name)(
+        weights=None, include_top=False, input_shape=shape
+    )
+    _randomize_keras_weights(tf, keras_model, seed=23, scaled=True)
+
+    rng = np.random.default_rng(24)
+    x = rng.normal(0.0, 1.0, (2, *shape)).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = module_cls(**module_kwargs)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3)
+
+
+def test_badwinner_v1_logit_parity(tf):
+    """badwinner v1 (badwinner.build_model, badwinner.py:47-128) vs the
+    actual reference graph.
+
+    The reference module is un-runnable as written: badwinner.py:85 logs
+    ``activation`` two lines before its assignment (UnboundLocalError on
+    every call).  The oracle here is the reference source with ONLY that
+    crashing log statement removed — the variable is (re)assigned before
+    any real use, so the graph semantics are untouched."""
+    import types
+
+    src = (REFERENCE / "badwinner.py").read_text().replace(
+        'logging.info("Using %s activation", activation)', "pass"
+    )
+    ref_badwinner = types.ModuleType("ref_badwinner")
+    exec(compile(src, str(REFERENCE / "badwinner.py"), "exec"),
+         ref_badwinner.__dict__)
+
+    import jax
+
+    from audio_training_tpu.models.badwinner import BadWinner
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    num_labels = 4
+    shape = (64, 96)  # reference adds the channel axis itself
+    keras_model = ref_badwinner.build_model(shape, None, num_labels,
+                                            multi_label=True)
+    _randomize_keras_weights(tf, keras_model, seed=25)
+
+    rng = np.random.default_rng(26)
+    x = np.abs(rng.normal(0.0, 1.0, (2, *shape, 1))).astype(np.float32)
+    ref_out = keras_model.predict(x, verbose=0)
+
+    module = BadWinner(num_labels=num_labels, multi_label=True)
+    variables = module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = transplant_keras_weights(variables, keras_model)
+    out = _flax_apply(module, variables, x)
+
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
+
+
 def test_efficientnetv2b0_backbone_parity(tf):
     """Flax EfficientNetV2 vs keras.applications.EfficientNetV2B0
     (weights=None, include_top=False, include_preprocessing default True —
