@@ -42,23 +42,29 @@ from audio_training_tpu.data.schema import (  # noqa: F401
 class FeatureCNN(nn.Module):
     """Dense tower over short/mid audio features (audiomodel.feature_cnn,
     audiomodel.py:2770-2787): two Dense-128+relu, dropout .1, GAP over the
-    first feature axis, Dense(num_labels) sigmoid — per branch."""
+    first feature axis, Dense(num_labels) sigmoid — per branch.
+
+    Module creation alternates the two towers per depth, matching the
+    keras functional graph's topological layer order so the positional
+    weight transplant pairs with the reference (short-d1, mid-d1,
+    short-d2, mid-d2, short-out, mid-out)."""
 
     num_labels: int
     dtype: Any = None
 
-    def tower(self, x, train: bool):
-        for _ in range(2):
-            x = nn.Dense(128, dtype=self.dtype)(x)
-            x = nn.relu(x)
-        x = nn.Dropout(0.1, deterministic=not train)(x)
-        x = jnp.mean(x, axis=1)  # GlobalAveragePooling1D
-        x = nn.Dense(self.num_labels)(x)
-        return nn.sigmoid(x)
-
     @nn.compact
     def __call__(self, short_f, mid_f, train: bool = False):
-        return self.tower(short_f, train), self.tower(mid_f, train)
+        s, m = short_f, mid_f
+        for _ in range(2):
+            s = nn.relu(nn.Dense(128, dtype=self.dtype)(s))
+            m = nn.relu(nn.Dense(128, dtype=self.dtype)(m))
+        drop = nn.Dropout(0.1, deterministic=not train)
+        s, m = drop(s), drop(m)
+        s = jnp.mean(s, axis=1)  # GlobalAveragePooling1D
+        m = jnp.mean(m, axis=1)
+        s = nn.sigmoid(nn.Dense(self.num_labels)(s))
+        m = nn.sigmoid(nn.Dense(self.num_labels)(m))
+        return s, m
 
 
 class CNNFeaturesModel(nn.Module):

@@ -394,6 +394,58 @@ def test_badwinner_v1_logit_parity(tf):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=2e-5)
 
 
+def test_feature_cnn_tower_parity(tf):
+    """The short/mid feature towers of cnn-features and merge
+    (audiomodel.feature_cnn, audiomodel.py:2770-2787) vs the actual
+    reference function wrapped as a keras model.
+
+    audiomodel.py's module imports pull soundfile/librosa (not installed);
+    feature_cnn itself only uses tf.keras, so the UNMODIFIED function is
+    extracted from the reference source by AST and executed standalone."""
+    import ast
+
+    import jax
+
+    from audio_training_tpu.models.registry import FeatureCNN
+    from audio_training_tpu.models.transplant import transplant_keras_weights
+
+    src = (REFERENCE / "audiomodel.py").read_text()
+    tree = ast.parse(src)
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "feature_cnn")
+    ns = {"tf": tf}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]),
+                 str(REFERENCE / "audiomodel.py"), "exec"), ns)
+
+    num_labels = 5
+    in_short = tf.keras.Input(shape=(68, 60), name="short_f")
+    in_mid = tf.keras.Input(shape=(136, 3), name="mid_f")
+    short, mid = ns["feature_cnn"](in_short, in_mid, num_labels)
+    keras_model = tf.keras.Model([in_short, in_mid], [short, mid])
+    _randomize_keras_weights(tf, keras_model, seed=27)
+
+    rng = np.random.default_rng(28)
+    xs = rng.normal(0.0, 1.0, (2, 68, 60)).astype(np.float32)
+    xm = rng.normal(0.0, 1.0, (2, 136, 3)).astype(np.float32)
+    ref_s, ref_m = keras_model.predict([xs, xm], verbose=0)
+
+    import jax.numpy as jnp
+
+    module = FeatureCNN(num_labels=num_labels)
+    variables = module.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(xs), jnp.asarray(xm),
+        train=False,
+    )
+    variables = transplant_keras_weights(variables, keras_model)
+    out_s, out_m = module.apply(variables, jnp.asarray(xs), jnp.asarray(xm),
+                                train=False)
+
+    np.testing.assert_allclose(np.asarray(out_s), ref_s, rtol=1e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_m), ref_m, rtol=1e-4,
+                               atol=2e-5)
+
+
 def test_efficientnetv2b0_backbone_parity(tf):
     """Flax EfficientNetV2 vs keras.applications.EfficientNetV2B0
     (weights=None, include_top=False, include_preprocessing default True —
