@@ -10,7 +10,8 @@ frontend + GAP + dropout + Dense head (audiomodel.py:784-820).
 ImageNet-pretrained weights are not bundled (zero-egress build); weights can
 be restored from a local orbax checkpoint instead.  Architectures implemented
 natively: ResNet50/101/152 (+v2 pre-activation), VGG16/19, MobileNetV2,
-DenseNet121, EfficientNet-B0/B1/B5, EfficientNetV2-B0/B3/S/M.
+DenseNet121, EfficientNet-B0/B1/B5, EfficientNetV2-B0/B3/S/M, InceptionV3,
+InceptionResNetV2.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
 from audio_training_tpu.models.layers import Conv, KerasBatchNorm, max_pool
 
@@ -460,6 +462,227 @@ class EfficientNetV2(nn.Module):
         return nn.silu(x)
 
 
+# ---------------------------------------------------------------------------
+# InceptionV3 / InceptionResNetV2
+# ---------------------------------------------------------------------------
+
+
+def _same_avg_pool3(x):
+    """keras ``AveragePooling2D((3, 3), strides=1, padding="same")`` with TF
+    semantics: zero-padded window cells are EXCLUDED from the denominator
+    (tf.nn.avg_pool divides by the count of valid cells, measured corner
+    value 1.0 on an all-ones input — flax's ``nn.avg_pool`` divides by the
+    full window size and would disagree on every border pixel)."""
+    dims, strides = (1, 3, 3, 1), (1, 1, 1, 1)
+    zero = jnp.zeros((), x.dtype)
+    summed = lax.reduce_window(x, zero, lax.add, dims, strides, "SAME")
+    counts = lax.reduce_window(
+        jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype), zero, lax.add, dims,
+        strides, "SAME",
+    )
+    return summed / counts
+
+
+class InceptionV3(nn.Module):
+    """Headless ``keras.applications.InceptionV3`` (the reference's
+    "inceptionv3" backbone, audiomodel.get_base_model,
+    audiomodel.py:1065-1072).
+
+    Keras-exact semantics: every conv is biasless and followed by
+    BN(scale=False, eps 1e-3) + relu (``conv2d_bn``), average pools use the
+    TF SAME denominator (see :func:`_same_avg_pool3`).  Each block body is
+    written in the keras functional graph's TOPOLOGICAL layer order (NOT
+    the keras source's textual order — e.g. the inception-A block runs
+    dbl1, 5x5_1, dbl2, 1x1, 5x5_2, dbl3, pool) so the positional weight
+    transplant (models/transplant.py) pairs layer-for-layer with
+    ``tf.keras.applications.InceptionV3(...).layers``; verified by
+    tests/test_tf_model_parity.py.
+    """
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        def cbr(y, f, k, s=(1, 1), pad="SAME"):
+            y = Conv(f, k, strides=s, padding=pad, dtype=self.dtype)(y)
+            y = KerasBatchNorm(use_scale=False, dtype=self.dtype)(y, train)
+            return nn.relu(y)
+
+        def pool3_2(y):
+            return nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
+
+        # stem
+        x = cbr(x, 32, (3, 3), (2, 2), "VALID")
+        x = cbr(x, 32, (3, 3), pad="VALID")
+        x = cbr(x, 64, (3, 3))
+        x = pool3_2(x)
+        x = cbr(x, 80, (1, 1), pad="VALID")
+        x = cbr(x, 192, (3, 3), pad="VALID")
+        x = pool3_2(x)
+
+        # mixed0/1/2 (inception-A); pool-branch filters 32/64/64
+        for pf in (32, 64, 64):
+            dbl = cbr(x, 64, (1, 1))
+            b5 = cbr(x, 48, (1, 1))
+            dbl = cbr(dbl, 96, (3, 3))
+            b1 = cbr(x, 64, (1, 1))
+            b5 = cbr(b5, 64, (5, 5))
+            dbl = cbr(dbl, 96, (3, 3))
+            pool = cbr(_same_avg_pool3(x), pf, (1, 1))
+            x = jnp.concatenate([b1, b5, dbl, pool], axis=-1)
+
+        # mixed3 (grid reduction)
+        dbl = cbr(x, 64, (1, 1))
+        dbl = cbr(dbl, 96, (3, 3))
+        b3 = cbr(x, 384, (3, 3), (2, 2), "VALID")
+        dbl = cbr(dbl, 96, (3, 3), (2, 2), "VALID")
+        x = jnp.concatenate([b3, dbl, pool3_2(x)], axis=-1)
+
+        # mixed4/5/6/7 (inception-B, factorized 7x1/1x7); f 128/160/160/192
+        for f in (128, 160, 160, 192):
+            dbl = cbr(x, f, (1, 1))
+            dbl = cbr(dbl, f, (7, 1))
+            b7 = cbr(x, f, (1, 1))
+            dbl = cbr(dbl, f, (1, 7))
+            b7 = cbr(b7, f, (1, 7))
+            dbl = cbr(dbl, f, (7, 1))
+            b1 = cbr(x, 192, (1, 1))
+            b7 = cbr(b7, 192, (7, 1))
+            dbl = cbr(dbl, 192, (1, 7))
+            pool = cbr(_same_avg_pool3(x), 192, (1, 1))
+            x = jnp.concatenate([b1, b7, dbl, pool], axis=-1)
+
+        # mixed8 (grid reduction)
+        d = cbr(x, 192, (1, 1))
+        d = cbr(d, 192, (1, 7))
+        b = cbr(x, 192, (1, 1))
+        d = cbr(d, 192, (7, 1))
+        b = cbr(b, 320, (3, 3), (2, 2), "VALID")
+        d = cbr(d, 192, (3, 3), (2, 2), "VALID")
+        x = jnp.concatenate([b, d, pool3_2(x)], axis=-1)
+
+        # mixed9/10 (inception-C, split 1x3 / 3x1 pairs)
+        for _ in range(2):
+            dbl = cbr(x, 448, (1, 1))
+            b3 = cbr(x, 384, (1, 1))
+            dbl = cbr(dbl, 384, (3, 3))
+            b3a = cbr(b3, 384, (1, 3))
+            b3b = cbr(b3, 384, (3, 1))
+            dbla = cbr(dbl, 384, (1, 3))
+            dblb = cbr(dbl, 384, (3, 1))
+            b1 = cbr(x, 320, (1, 1))
+            pool = cbr(_same_avg_pool3(x), 192, (1, 1))
+            x = jnp.concatenate(
+                [b1, jnp.concatenate([b3a, b3b], axis=-1),
+                 jnp.concatenate([dbla, dblb], axis=-1), pool], axis=-1,
+            )
+        return x
+
+
+class InceptionResNetV2(nn.Module):
+    """Headless ``keras.applications.InceptionResNetV2`` (the reference's
+    "inceptionresnetv2" backbone, audiomodel.py:1056-1063).
+
+    Same keras-exactness rules as :class:`InceptionV3`; the residual blocks
+    add ``x + scale * up`` (keras ``CustomScaleLayer``) where ``up`` is the
+    only biased conv (no BN), with scales 0.17 (block35), 0.1 (block17),
+    0.2 (block8) and a final un-activated block8 at scale 1.0.
+    """
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        def cbr(y, f, k, s=(1, 1), pad="SAME"):
+            y = Conv(f, k, strides=s, padding=pad, dtype=self.dtype)(y)
+            y = KerasBatchNorm(use_scale=False, dtype=self.dtype)(y, train)
+            return nn.relu(y)
+
+        def pool3_2(y):
+            return nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
+
+        def res_add(y, up, scale, relu=True):
+            out = y + scale * up  # CustomScaleLayer: in[0] + scale * in[1]
+            return nn.relu(out) if relu else out
+
+        # stem
+        x = cbr(x, 32, (3, 3), (2, 2), "VALID")
+        x = cbr(x, 32, (3, 3), pad="VALID")
+        x = cbr(x, 64, (3, 3))
+        x = pool3_2(x)
+        x = cbr(x, 80, (1, 1), pad="VALID")
+        x = cbr(x, 192, (3, 3), pad="VALID")
+        x = pool3_2(x)
+
+        # mixed_5b (inception-A; branch_0 is 96 wide here, pool branch 64)
+        dbl = cbr(x, 64, (1, 1))
+        b5 = cbr(x, 48, (1, 1))
+        dbl = cbr(dbl, 96, (3, 3))
+        b0 = cbr(x, 96, (1, 1))
+        b5 = cbr(b5, 64, (5, 5))
+        dbl = cbr(dbl, 96, (3, 3))
+        pool = cbr(_same_avg_pool3(x), 64, (1, 1))
+        x = jnp.concatenate([b0, b5, dbl, pool], axis=-1)
+
+        # 10x block35 (inception-resnet-A), scale 0.17
+        for _ in range(10):
+            b2 = cbr(x, 32, (1, 1))
+            b1 = cbr(x, 32, (1, 1))
+            b2 = cbr(b2, 48, (3, 3))
+            b0 = cbr(x, 32, (1, 1))
+            b1 = cbr(b1, 32, (3, 3))
+            b2 = cbr(b2, 64, (3, 3))
+            mixed = jnp.concatenate([b0, b1, b2], axis=-1)
+            up = Conv(320, (1, 1), padding="SAME", dtype=self.dtype)(mixed)
+            x = res_add(x, up, 0.17)
+
+        # mixed_6a (reduction-A)
+        b1 = cbr(x, 256, (1, 1))
+        b1 = cbr(b1, 256, (3, 3))
+        b0 = cbr(x, 384, (3, 3), (2, 2), "VALID")
+        b1 = cbr(b1, 384, (3, 3), (2, 2), "VALID")
+        x = jnp.concatenate([b0, b1, pool3_2(x)], axis=-1)
+
+        # 20x block17 (inception-resnet-B), scale 0.1
+        for _ in range(20):
+            b1 = cbr(x, 128, (1, 1))
+            b1 = cbr(b1, 160, (1, 7))
+            b0 = cbr(x, 192, (1, 1))
+            b1 = cbr(b1, 192, (7, 1))
+            mixed = jnp.concatenate([b0, b1], axis=-1)
+            up = Conv(1088, (1, 1), padding="SAME", dtype=self.dtype)(mixed)
+            x = res_add(x, up, 0.1)
+
+        # mixed_7a (reduction-B)
+        b2 = cbr(x, 256, (1, 1))
+        b0 = cbr(x, 256, (1, 1))
+        b1 = cbr(x, 256, (1, 1))
+        b2 = cbr(b2, 288, (3, 3))
+        b0 = cbr(b0, 384, (3, 3), (2, 2), "VALID")
+        b1 = cbr(b1, 288, (3, 3), (2, 2), "VALID")
+        b2 = cbr(b2, 320, (3, 3), (2, 2), "VALID")
+        x = jnp.concatenate([b0, b1, b2, pool3_2(x)], axis=-1)
+
+        # 9x block8 (inception-resnet-C) at scale 0.2 + the final
+        # un-activated block8 at scale 1.0
+        for i in range(10):
+            b1 = cbr(x, 192, (1, 1))
+            b1 = cbr(b1, 224, (1, 3))
+            b0 = cbr(x, 192, (1, 1))
+            b1 = cbr(b1, 256, (3, 1))
+            mixed = jnp.concatenate([b0, b1], axis=-1)
+            up = Conv(2080, (1, 1), padding="SAME", dtype=self.dtype)(mixed)
+            x = res_add(x, up, 1.0 if i == 9 else 0.2, relu=i < 9)
+
+        return cbr(x, 1536, (1, 1))  # conv_7b
+
+
 # name -> constructor for the registry (audiomodel.py:972-1141 name parity)
 BACKBONES = {
     "resnet": partial(ResNet, stage_sizes=(3, 4, 6, 3)),
@@ -476,4 +699,6 @@ BACKBONES = {
     "efficientnetv2b3": partial(EfficientNetV2, variant="b3"),
     "efficientnetv2bs": partial(EfficientNetV2, variant="s"),
     "efficientnetv2bm": partial(EfficientNetV2, variant="m"),
+    "inceptionv3": InceptionV3,
+    "inceptionresnetv2": InceptionResNetV2,
 }

@@ -241,6 +241,8 @@ _KERAS_APP_BUILDERS = {
     "efficientnetv2b3": "EfficientNetV2B3",
     "efficientnetv2bs": "EfficientNetV2S",
     "efficientnetv2bm": "EfficientNetV2M",
+    "inceptionv3": "InceptionV3",
+    "inceptionresnetv2": "InceptionResNetV2",
 }
 
 # keras.applications.efficientnet IMAGENET_STDDEV_RGB — the graph built with

@@ -157,6 +157,20 @@ def test_backbone_classifier(name):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_backbone_classifier_inception():
+    """The inception family (audiomodel.py:1056-1072) routes through the
+    same BackboneClassifier adapter; needs a taller input than the other
+    zoo smokes — the VALID stem reduces ~10x before the 3x3/2 reduction
+    blocks.  Keras-exactness is anchored separately in
+    test_tf_model_parity.test_more_backbones_parity."""
+    x = jnp.asarray(np.random.default_rng(7).random((1, 96, 101, 1)),
+                    jnp.float32)
+    spec = build_model("inceptionv3", num_labels=3)
+    out, _ = _init_and_run(spec, [x])
+    assert out.shape == (1, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_backbone_classifier_external_frontend():
     """external_frontend=True skips the in-model PCEN/MagTransform — the
     input is already PCEN'd (fused featurizer serving path); no PCEN params

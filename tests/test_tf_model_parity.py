@@ -321,6 +321,8 @@ def test_wr_resnet_production_depth_parity(tf):
     ("vgg16", "VGG16", {"blocks": (2, 2, 3, 3, 3)}),
     ("mobilenet", "MobileNetV2", {}),
     ("densenet121", "DenseNet121", {"blocks": (6, 12, 24, 16)}),
+    ("inceptionv3", "InceptionV3", {}),
+    ("inceptionresnetv2", "InceptionResNetV2", {}),
 ])
 def test_more_backbones_parity(tf, name, keras_name, module_kwargs):
     """Remaining keras.applications trunks of the reference's
@@ -332,7 +334,9 @@ def test_more_backbones_parity(tf, name, keras_name, module_kwargs):
     from audio_training_tpu.models.transplant import transplant_keras_weights
 
     module_cls = {"vgg16": backbones.VGG, "mobilenet": backbones.MobileNetV2,
-                  "densenet121": backbones.DenseNet}[name]
+                  "densenet121": backbones.DenseNet,
+                  "inceptionv3": backbones.InceptionV3,
+                  "inceptionresnetv2": backbones.InceptionResNetV2}[name]
     shape = (96, 101, 3)
     keras_model = getattr(tf.keras.applications, keras_name)(
         weights=None, include_top=False, input_shape=shape
