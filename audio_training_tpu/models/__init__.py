@@ -11,6 +11,7 @@ from audio_training_tpu.models.registry import (
     ModelSpec,
     build_model,
     build_random_forest,
+    fold_gray_stem,
 )
 from audio_training_tpu.models.wr_resnet import WRResNet
 from audio_training_tpu.models.wr_resnet_bird import WRResNetBird
@@ -28,5 +29,6 @@ __all__ = [
     "ModelSpec",
     "build_model",
     "build_random_forest",
+    "fold_gray_stem",
     "MODEL_NAMES",
 ]

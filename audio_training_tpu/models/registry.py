@@ -268,6 +268,64 @@ def build_model(
     raise ValueError(f"Unknown model name: {model_name}")
 
 
+def fold_gray_stem(spec: ModelSpec, variables):
+    """Exact-math serving optimization: collapse a BackboneClassifier's RGB
+    stem so it consumes the 1-channel mel image directly, skipping the
+    reference's 3-channel repeat (tfdataset.raw_to_mel's
+    ``tf.repeat(mel, 3, -1)``, tfdataset.py:175-180).
+
+    For channel-identical input, ``conv(repeat(x, 3), W) ==
+    conv(x, W.sum(axis=2))`` exactly; everything upstream of the stem conv
+    must treat the channels uniformly, so this refuses backbones configured
+    with per-channel normalization constants (ImageNet weight imports set
+    ``backbone_args``; EfficientNetV2 B-variants bake ImageNet constants
+    whenever ``preprocess=True`` sees 3-channel input).
+
+    Returns folded ``variables``; apply the SAME module to input with a
+    size-1 channel axis.  On TPU this removes the 3x mel-image
+    materialization + the stem conv reading 3x the bytes.
+    """
+    module = spec.module
+    if not isinstance(module, BackboneClassifier):
+        raise ValueError("fold_gray_stem only applies to BackboneClassifier")
+    args = dict(module.backbone_args)
+    for key in ("norm_mean", "norm_var", "extra_rescale"):
+        vals = args.get(key, ())
+        if len(set(vals)) > 1:
+            raise ValueError(
+                f"backbone has per-channel {key}={vals}; the gray fold is "
+                "only exact for channel-uniform preprocessing"
+            )
+    if module.backbone_name.startswith("efficientnetv2") and args.get(
+            "preprocess", True):
+        raise ValueError(
+            "EfficientNetV2 B-variants bake per-channel ImageNet "
+            "normalization constants on 3-channel input "
+            "(models/backbones.EfficientNetV2.preprocess); build with "
+            "backbone_args=(('preprocess', False),) to fold"
+        )
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    matches = [
+        path for path, leaf in flat
+        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[2] == 3
+        and "kernel" in str(path[-1])
+    ]
+    if len(matches) != 1:
+        raise ValueError(
+            f"expected exactly one 3-input-channel conv kernel (the stem), "
+            f"found {len(matches)}"
+        )
+    stem_path = matches[0]
+
+    def fold(path, leaf):
+        if path == stem_path:
+            return leaf.sum(axis=2, keepdims=True)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fold, variables)
+
+
 def build_random_forest(**kwargs):
     """sklearn stand-in for the reference's ydf RandomForestLearner
     (audiomodel.py:766-769).  Train with flattened short/mid feature

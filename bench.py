@@ -3,21 +3,25 @@
 Prints TWO JSON lines ({"metric", "value", "unit", "vs_baseline"} each), the
 OFFICIAL driver line LAST:
 
-1. ``mel+PCEN+backbone`` — the chain the driver metric names: fused
-   waveform -> mel -> PCEN featurizer feeding a PCEN-consuming model.  In
-   the reference PCEN fronts the pretrained-backbone models ONLY
-   (audiomodel.py:789-796); the representative backbone is EfficientNet-B0
-   (audiomodel.get_base_model, audiomodel.py:1061-1071) — measured fastest
-   of the zoo on this chip (23.3k vs ResNet50's 16.1k; ResNet50's
-   high-resolution early stages dominate at the (160, 513) mel geometry) —
-   with the PCEN computed inside the fused Pallas featurizer, identical
-   inference math to the model-internal PCEN layer
-   (tests/test_fused_featurizer.py anchors it to tfpcen).
-2. ``badwinner2 e2e`` (official) — the production flagship chain
+1. ``badwinner2 e2e`` — the production flagship chain
    (tfdataset.py:481-498 order): per-clip waveform min-max normalize ->
    raw_to_mel -> badwinner2.  PCEN is NOT part of this chain — badwinner2's
    MagTransform ``x**sigmoid(a)`` NaNs on PCEN's [-1, 1] output in this
    framework AND in the TF reference (docs/PERFORMANCE.md).
+2. ``mel+PCEN+CNN`` (official) — the chain the driver metric names
+   (BASELINE.json north star: "waveform->mel->PCEN->CNN-logits"): fused
+   waveform -> mel -> PCEN featurizer feeding a PCEN-consuming model.  In
+   the reference PCEN fronts the pretrained-backbone models ONLY
+   (audiomodel.py:789-796), and a PCEN-fronted backbone IS the reference's
+   own default training path (``--model-name`` defaults to
+   "efficientnetv2b3", audiomodel.py:2338-2342).  The bench backbone is
+   selectable via ``BENCH_PCEN_BACKBONE`` (default EfficientNet-B0,
+   audiomodel.get_base_model, audiomodel.py:1061-1071 — measured fastest
+   of the zoo on this chip: 23.3k vs ResNet50's 16.1k; ResNet50's
+   high-resolution early stages dominate at the (160, 513) mel geometry).
+   PCEN is computed inside the fused Pallas featurizer, identical
+   inference math to the model-internal PCEN layer
+   (tests/test_fused_featurizer.py anchors it to tfpcen).
 
 Each clip is 3 s of 48 kHz audio at the production geometry (NFFT 4096, hop
 281, 160 mels, 513 frames).  The featurizer is the fully-fused Pallas
@@ -92,31 +96,7 @@ def main() -> None:
             return sums.sum()
         return run
 
-    # ---- chain 1: waveform -> mel -> PCEN -> EfficientNet-B0 logits ------
-    eff_spec = build_model(
-        "efficientnetb0", num_labels=num_labels, logits_only=True,
-        external_frontend=True, dtype=jnp.bfloat16,
-    )
-    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 3), jnp.float32)
-    eff_vars = eff_spec.module.init(
-        {"params": jax.random.PRNGKey(1)}, mel0, train=False
-    )
-
-    def full_pcen(r):
-        img = fz(r, pcen=True)[..., None]  # waveform -> mel -> PCEN
-        img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
-        return eff_spec.module.apply(eff_vars, img, train=False)
-
-    pcen_audio_s = _measure(scan_chain(full_pcen), raw, BATCH,
-                            cfg.segment_length)
-    print(json.dumps({
-        "metric": "audio-seconds/sec/chip (mel+PCEN+efficientnetb0 infer)",
-        "value": round(pcen_audio_s, 1),
-        "unit": "audio_s/s/chip",
-        "vs_baseline": round(pcen_audio_s / TARGET, 4),
-    }), flush=True)
-
-    # ---- chain 2 (official): normalize -> mel -> badwinner2 logits -------
+    # ---- chain 1: normalize -> mel -> badwinner2 logits -------
     # NOTE: folding normalize_rows + the MagTransform/mel-BN frontend INTO
     # the featurizer kernel (FusedFeaturizer frontend_params) measured
     # 17,864 vs 18,120 audio-s/s — XLA already overlaps those elementwise
@@ -141,6 +121,31 @@ def main() -> None:
         "value": round(bw_audio_s, 1),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(bw_audio_s / TARGET, 4),
+    }), flush=True)
+
+    # ---- chain 2 (official): waveform -> mel -> PCEN -> backbone logits --
+    backbone = os.environ.get("BENCH_PCEN_BACKBONE", "efficientnetb0")
+    eff_spec = build_model(
+        backbone, num_labels=num_labels, logits_only=True,
+        external_frontend=True, dtype=jnp.bfloat16,
+    )
+    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 3), jnp.float32)
+    eff_vars = eff_spec.module.init(
+        {"params": jax.random.PRNGKey(1)}, mel0, train=False
+    )
+
+    def full_pcen(r):
+        img = fz(r, pcen=True)[..., None]  # waveform -> mel -> PCEN
+        img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
+        return eff_spec.module.apply(eff_vars, img, train=False)
+
+    pcen_audio_s = _measure(scan_chain(full_pcen), raw, BATCH,
+                            cfg.segment_length)
+    print(json.dumps({
+        "metric": f"audio-seconds/sec/chip (mel+PCEN+CNN infer; {backbone})",
+        "value": round(pcen_audio_s, 1),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(pcen_audio_s / TARGET, 4),
     }), flush=True)
 
 

@@ -185,6 +185,43 @@ def test_backbone_classifier_external_frontend():
     assert "PCEN" not in flat and "MagTransform" not in flat
 
 
+def test_fold_gray_stem_exact():
+    """fold_gray_stem: logits on the 1-channel mel equal the 3-channel
+    repeat path (tfdataset.raw_to_mel's tf.repeat, tfdataset.py:175-180) —
+    conv(repeat(x,3), W) == conv(x, W.sum(axis=2)) up to fp reassociation."""
+    from audio_training_tpu.models import fold_gray_stem
+
+    x1 = jnp.asarray(np.random.default_rng(9).random((2, 64, 96, 1)),
+                     jnp.float32)
+    spec = build_model("efficientnetb0", num_labels=5, logits_only=True,
+                       external_frontend=True)
+    x3 = jnp.repeat(x1, 3, axis=-1)
+    variables = spec.module.init({"params": jax.random.PRNGKey(3)}, x3,
+                                 train=False)
+    ref = spec.module.apply(variables, x3, train=False)
+    folded = fold_gray_stem(spec, variables)
+    out = spec.module.apply(folded, x1, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_fold_gray_stem_refuses_per_channel_constants():
+    """Per-channel normalization makes the fold inexact -> ValueError."""
+    from audio_training_tpu.models import fold_gray_stem
+
+    spec = build_model(
+        "efficientnetb0", num_labels=3, external_frontend=True,
+        backbone_args=(("norm_mean", (0.485, 0.456, 0.406)),
+                       ("norm_var", (0.052, 0.050, 0.051))),
+    )
+    with pytest.raises(ValueError, match="per-channel"):
+        fold_gray_stem(spec, {"params": {}})
+    spec_v2 = build_model("efficientnetv2b0", num_labels=3,
+                          external_frontend=True)
+    with pytest.raises(ValueError, match="EfficientNetV2"):
+        fold_gray_stem(spec_v2, {"params": {}})
+
+
 def test_logmeanexp_between_mean_and_max():
     rng = np.random.default_rng(8)
     x = jnp.asarray(rng.random((4, 10)), jnp.float32)
