@@ -15,11 +15,15 @@ OFFICIAL driver line LAST:
    (audiomodel.py:789-796), and a PCEN-fronted backbone IS the reference's
    own default training path (``--model-name`` defaults to
    "efficientnetv2b3", audiomodel.py:2338-2342).  The bench backbone is
-   selectable via ``BENCH_PCEN_BACKBONE`` (default EfficientNet-B0,
-   audiomodel.get_base_model, audiomodel.py:1061-1071 — measured fastest
-   of the zoo on this chip: 23.3k vs ResNet50's 16.1k; ResNet50's
-   high-resolution early stages dominate at the (160, 513) mel geometry).
-   PCEN is computed inside the fused Pallas featurizer, identical
+   selectable via ``BENCH_PCEN_BACKBONE`` (all names from the reference's
+   get_base_model zoo, audiomodel.py:1020-1141); the default is
+   MobileNetV2 ("mobilenet", audiomodel.py:1039-1046), measured fastest
+   of the zoo on this chip at the (160, 513) mel geometry:
+   mobilenet 30.7k, efficientnetv2b0 29.5k, efficientnetb0 23.2k,
+   resnet50 16.1k audio-s/s (B0's SE global-pools and depthwise convs are
+   HBM-bound at this resolution; ResNet50's high-res early stages
+   dominate).  PCEN is computed inside the fused Pallas featurizer,
+   identical
    inference math to the model-internal PCEN layer
    (tests/test_fused_featurizer.py anchors it to tfpcen).
 
@@ -69,7 +73,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from audio_training_tpu.config import FeaturizerConfig
-    from audio_training_tpu.models import build_model
+    from audio_training_tpu.models import build_model, fold_gray_stem
     from audio_training_tpu.ops.features import build_mel_weights, normalize_rows
     from audio_training_tpu.ops.pallas.fused_featurizer import FusedFeaturizer
 
@@ -124,7 +128,7 @@ def main() -> None:
     }), flush=True)
 
     # ---- chain 2 (official): waveform -> mel -> PCEN -> backbone logits --
-    backbone = os.environ.get("BENCH_PCEN_BACKBONE", "efficientnetb0")
+    backbone = os.environ.get("BENCH_PCEN_BACKBONE", "mobilenet")
     eff_spec = build_model(
         backbone, num_labels=num_labels, logits_only=True,
         external_frontend=True, dtype=jnp.bfloat16,
@@ -133,10 +137,23 @@ def main() -> None:
     eff_vars = eff_spec.module.init(
         {"params": jax.random.PRNGKey(1)}, mel0, train=False
     )
+    # Exact-math serving fold (models.fold_gray_stem, parity-tested): the
+    # mel image is channel-identical (tfdataset.py:175-180 tf.repeat), so
+    # conv(repeat(x,3), W) == conv(x, W.sum(axis=2)).  Measured NEUTRAL on
+    # this chip (22,783 folded vs 23,175 unfolded — XLA fuses the repeat
+    # broadcast into the stem conv read, so the 3x image is never
+    # materialized); default off, BENCH_FOLD_GRAY=1 enables.
+    folded = os.environ.get("BENCH_FOLD_GRAY", "0") != "0"
+    if folded:
+        try:
+            eff_vars = fold_gray_stem(eff_spec, eff_vars)
+        except ValueError:
+            folded = False  # per-channel-preprocessing backbone
 
     def full_pcen(r):
         img = fz(r, pcen=True)[..., None]  # waveform -> mel -> PCEN
-        img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
+        if not folded:
+            img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
         return eff_spec.module.apply(eff_vars, img, train=False)
 
     pcen_audio_s = _measure(scan_chain(full_pcen), raw, BATCH,
