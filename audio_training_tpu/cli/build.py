@@ -56,6 +56,10 @@ def parse_args(argv=None):
     parser.add_argument("--add-features", action="count",
                         help="Store hand-crafted short/mid features per "
                              "sample (audiowriter add_features parity)")
+    parser.add_argument("--add-buttered", action="count",
+                        help="Store a Butterworth band-passed variant per "
+                             "sample with track freq bounds (feeds train "
+                             "--filter-freq; audiodataset.py:1301 intent)")
     parser.add_argument("--embedding-model", default=None,
                         help="Local Perch saved-model path: store a "
                              "per-sample embedding in each record "
@@ -139,6 +143,7 @@ def main(argv=None) -> int:
             store_spectrogram=bool(args.store_spectrogram),
             embedding_model=args.embedding_model,
             add_features=bool(args.add_features),
+            add_buttered=bool(args.add_buttered),
         )
         logging.info("Wrote %s: %s records", ds.name, n)
     write_training_meta(out, datasets, featurizer)

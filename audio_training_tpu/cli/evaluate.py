@@ -42,6 +42,20 @@ def parse_args(argv=None):
     comp.add_argument("first_confusion")
     comp.add_argument("second_confusion")
 
+    mean = sub.add_parser(
+        "mean",
+        help="Weighted-mean ensemble confusion from two+ raw dumps of the "
+             "same test stream (audiomodel --model_2, "
+             "audiomodel.py:1363-1386)",
+    )
+    mean.add_argument("raw_npys", nargs="+",
+                      help="<confusion>-raw.npy dumps, main model first")
+    mean.add_argument("--weights", default=None,
+                      help="Comma-separated model weights "
+                           "(default 0.6,0.4 for two models)")
+    mean.add_argument("--threshold", type=float, default=0.7)
+    mean.add_argument("--out", default="./confusions/mean-model")
+
     thr = sub.add_parser("thresholds",
                          help="Best per-class thresholds from a raw dump")
     thr.add_argument("raw_npy", help="<confusion>-raw.npy dump")
@@ -85,6 +99,27 @@ def main(argv=None) -> int:
             correct = int(np.trace(cm))
             total = int(cm.sum())
             logging.info("%s-agg accuracy: %s/%s", name, correct, total)
+        return 0
+    if args.cmd == "mean":
+        from audio_training_tpu.eval import (
+            load_raw_predictions,
+            mean_model_confusion,
+            save_confusion,
+        )
+
+        dumps = [load_raw_predictions(p) for p in args.raw_npys]
+        weights = (
+            [float(w) for w in args.weights.split(",")]
+            if args.weights else None
+        )
+        cm, out_labels, _ = mean_model_confusion(
+            dumps, weights=weights, threshold=args.threshold
+        )
+        save_confusion(cm, out_labels, args.out)
+        correct = int(np.trace(cm))
+        total = int(cm.sum())
+        logging.info("mean-model accuracy: %s/%s -> %s", correct, total,
+                     args.out)
         return 0
     if args.cmd == "compare":
         import json

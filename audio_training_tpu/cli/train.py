@@ -43,6 +43,20 @@ def parse_args(argv=None):
                         help="Write a validation confusion matrix artifact "
                              "per epoch (audiomodel.log_confusion_matrix)")
     parser.add_argument("--lme", action="count")
+    parser.add_argument("--no-low-samples", action="count",
+                        help="Don't use over sampled samples "
+                        "(tfdataset.py:728-733)")
+    parser.add_argument("--use-bird-tags", action="count",
+                        help="Use tracks of generic bird tags (without "
+                        "specific birds) in training "
+                        "(audiomodel --use_bird_tags)")
+    parser.add_argument("--filter-freq", action="count",
+                        help="Train on band-passed sample variants when the "
+                        "records carry them (build with --add-buttered)")
+    parser.add_argument("--random-butter", type=float, default=0.0,
+                        help="Probability of picking the band-passed variant "
+                        "per visit (reference uses 0.6); 0 = always when "
+                        "--filter-freq")
     parser.add_argument("--only-features", action="count")
     parser.add_argument("--morepork-model", action="store_true")
     parser.add_argument("--cross", action="count", help="5-fold CV")
@@ -121,6 +135,10 @@ def main(argv=None) -> int:
         multi_label=args.multi_label,
         use_generic_bird=args.use_generic_bird, loss=args.loss,
         use_weighting=bool(args.weighting),
+        no_low_samples=bool(args.no_low_samples),
+        use_bird_tags=bool(args.use_bird_tags),
+        filter_freq=bool(args.filter_freq),
+        random_butter=args.random_butter,
         epoch_confusion=args.epoch_confusion,
         num_data_shards=args.data_shards, seed=args.seed,
         loader_workers=args.loader_workers,

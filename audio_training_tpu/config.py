@@ -156,6 +156,17 @@ class TrainConfig:
     use_weighting: bool = False
     weight_min: float = 0.25  # class-weight clamp (tfdataset.py:1755-1758)
     weight_max: float = 4.0
+    # --no-low-samples: exclude oversampled low-count samples
+    # (tfdataset.py:728-733)
+    no_low_samples: bool = False
+    # keep samples tagged ONLY generic "bird"; off = the reference's default
+    # others_filter drops them from multi-label training
+    # (tfdataset.py:735-755, audiomodel --use_bird_tags)
+    use_bird_tags: bool = False
+    # train on band-passed sample variants when records carry them
+    # (tfdataset.py:1066-1078; build with --add-buttered to produce them)
+    filter_freq: bool = False
+    random_butter: float = 0.0  # reference trains with 0.6 when set
     dropout: float = 0.5
     seed: int = 0
     # per-epoch validation confusion artifact (npy+png), the reference's

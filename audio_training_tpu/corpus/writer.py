@@ -104,6 +104,7 @@ def process_recording(
     check_duration: bool = True,
     embedder=None,
     add_features: bool = False,
+    add_buttered: bool = False,
 ) -> list[bytes]:
     """Decode one recording and serialize its samples
     (audiowriter.process_job + save_data, audiowriter.py:239-311,360-488).
@@ -111,7 +112,15 @@ def process_recording(
     ``embedder`` (an ``infer.embeddings.EmbeddingModel``, e.g. a local
     Perch saved model) stores one embedding vector per sample — the
     reference's DO_EMBEDDING path (audiowriter.py:212,248-253,440-453),
-    which reached tensorflow_hub instead."""
+    which reached tensorflow_hub instead.
+
+    ``add_buttered`` stores a Butterworth band-passed variant of each
+    sample whose track carries frequency bounds, feeding the pipeline's
+    ``filter_freq``/``random_butter`` training option
+    (tfdataset.py:1066-1078).  The reference's write side intended the
+    same (``butter_bandpass_filter(s_data, min_freq, max_freq, sr)``,
+    audiodataset.py:1301) but ships with it commented out, leaving its
+    decode path dead; here the capability is functional and opt-in."""
     frames, sr = load_recording(rec.filename, target_sr=cfg.sr)
     if check_duration:
         probed = probe_duration(rec.filename)
@@ -150,6 +159,15 @@ def process_recording(
             spectogram=data.spectogram,
             mixed_label=sample.mixed_label,
         )
+        if add_buttered and (sample.min_freq or 0) >= 0 and (
+                sample.max_freq or 0) > 0:
+            from audio_training_tpu.ops.features import butter_bandpass_filter
+
+            band = butter_bandpass_filter(
+                data.raw, sample.min_freq or 0, sample.max_freq, fs=sr
+            )
+            if np.count_nonzero(band) and np.isfinite(band).all():
+                record.buttered = band.astype(np.float32)
         if embedder is not None and embedder.available:
             pending_embed.append((record, data.raw))
         if add_features:
@@ -187,7 +205,8 @@ def process_recording(
 def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
             shards_per_worker: int, store_spectrogram: bool,
             embedding_model: str | None = None,
-            add_features: bool = False):
+            add_features: bool = False,
+            add_buttered: bool = False):
     """One writer process: round-robin over its own shard files
     (audiowriter.py:239-311)."""
     embedder = _make_embedder(embedding_model)
@@ -204,6 +223,7 @@ def _worker(job_queue, out_dir: Path, worker_i: int, cfg: FeaturizerConfig,
             for record in process_recording(
                 rec, cfg, store_spectrogram=store_spectrogram,
                 embedder=embedder, add_features=add_features,
+                add_buttered=add_buttered,
             ):
                 writers[i % shards_per_worker].write(record)
                 i += 1
@@ -235,6 +255,7 @@ def create_tf_records(
     store_spectrogram: bool = False,
     embedding_model: str | None = None,
     add_features: bool = False,
+    add_buttered: bool = False,
 ) -> int:
     """Write a dataset split to GZIP TFRecord shards
     (audiowriter.create_tf_records, audiowriter.py:578-642).
@@ -255,6 +276,7 @@ def create_tf_records(
                 for record in process_recording(
                     rec, cfg, store_spectrogram=store_spectrogram,
                     embedder=embedder, add_features=add_features,
+                    add_buttered=add_buttered,
                 ):
                     writer.write(record)
                     n += 1
@@ -268,7 +290,8 @@ def create_tf_records(
         multiprocessing.Process(
             target=_worker,
             args=(job_queue, out_dir, w, cfg, shards_per_worker,
-                  store_spectrogram, embedding_model, add_features),
+                  store_spectrogram, embedding_model, add_features,
+                  add_buttered),
         )
         for w in range(num_workers)
     ]

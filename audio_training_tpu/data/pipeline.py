@@ -78,6 +78,10 @@ class RecordStream:
         verify_crc: bool = False,
         with_latlng: bool = False,
         with_features: bool = False,
+        exclude_low_samples: bool = False,
+        drop_bird_only: bool = False,
+        filter_freq: bool = False,
+        random_butter: float = 0.0,
     ):
         if not shards:
             raise ValueError("no shard files found")
@@ -101,6 +105,27 @@ class RecordStream:
         # both feature tensors are skipped, matching the reference's
         # count_nonzero filter (tfdataset.py:283-289)
         self.with_features = with_features
+        # --no-low-samples: drop samples produced by oversampling of
+        # low-count labels (tfdataset.py:728-733; the y[6] the reference
+        # filters on is the decoded low_sample flag, tfdataset.py:1051)
+        self.exclude_low_samples = exclude_low_samples
+        # default-on bird-tag filter (inverted as use_bird_tags in the
+        # reference CLI): drop samples whose resolved label set is EXACTLY
+        # the generic "bird" hit — tagged bird with no specific species
+        # (tfdataset.py:735-755, others_filter)
+        self.drop_bird_only = drop_bird_only
+        self._bird_only = None
+        if drop_bird_only and "bird" in label_space.labels:
+            m = np.zeros(label_space.num_labels, np.float32)
+            m[label_space.index_of("bird")] = 1.0
+            self._bird_only = m
+        # filter_freq/random_butter: train on the band-passed variant of a
+        # sample when the record carries one — always when random_butter is
+        # 0, else with that probability per visit (tfdataset.py:1066-1078;
+        # the reference stores a band-passed SPECTROGRAM, this pipeline a
+        # band-passed waveform, same decode-time choice)
+        self.filter_freq = filter_freq
+        self.random_butter = float(random_butter)
         self._cached: list[tuple[np.ndarray, np.ndarray]] | None = None
         self._tag_index = {l: i for i, l in enumerate(label_space.source_labels)}
 
@@ -113,10 +138,26 @@ class RecordStream:
 
     def _decode_one(self, rec) -> Optional[tuple[np.ndarray, np.ndarray]]:
         try:
-            s = decode_sample(rec, want_features=self.with_features)
+            s = decode_sample(rec, want_features=self.with_features,
+                              want_buttered=self.filter_freq)
         except Exception:
             return None  # ignore_errors parity (tfdataset.py:226)
+        if self.exclude_low_samples and s.low_sample:
+            return None  # tfdataset.py:728-733
         raw = s.raw
+        if (
+            self.filter_freq
+            and s.buttered is not None
+            and np.count_nonzero(s.buttered)
+            and (
+                self.random_butter <= 0.0
+                or self.rng.random() <= self.random_butter
+            )
+        ):
+            # per-visit choice like the reference's tf.cond on a fresh
+            # uniform (tfdataset.py:1068-1078); train streams re-decode
+            # every epoch so the coin is re-flipped per pass
+            raw = s.buttered
         if raw.size != self.samples_per_clip:
             if raw.size == 0:
                 return None
@@ -129,6 +170,8 @@ class RecordStream:
         y = self._one_hot(s.tags)
         if y is None:
             return None
+        if self._bird_only is not None and np.array_equal(y, self._bird_only):
+            return None  # generic-bird-only sample (tfdataset.py:751-755)
         if self.with_features:
             short_f, mid_f = s.short_features, s.mid_features
             if (
@@ -392,6 +435,10 @@ def build_training_stream(
     with_latlng: bool = False,
     shard_groups: list[list[Path]] | None = None,
     workers: int | None = None,
+    exclude_low_samples: bool = False,
+    drop_bird_only: bool = False,
+    filter_freq: bool = False,
+    random_butter: float = 0.0,
 ):
     """End-to-end loader for one split over one or more dataset dirs
     (main/second/human dataset merging, audiomodel.py:1582-1644).
@@ -435,6 +482,8 @@ def build_training_stream(
         and not cache
         and weights is None
         and len(groups) == 1
+        # decode-time sample filters/variants use the threaded path
+        and not (exclude_low_samples or drop_bird_only or filter_freq)
     )
     if parallel_ok:
         from audio_training_tpu.data.parallel_loader import ParallelLoader
@@ -459,6 +508,10 @@ def build_training_stream(
                         loop=augment,  # training streams loop; eval is 1 pass
                         cache=cache,
                         with_latlng=with_latlng,
+                        exclude_low_samples=exclude_low_samples,
+                        drop_bird_only=drop_bird_only,
+                        filter_freq=filter_freq,
+                        random_butter=random_butter,
                     )
                 )
             )

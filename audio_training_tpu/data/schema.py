@@ -152,6 +152,7 @@ class DecodedSample:
     embeddings: Optional[np.ndarray] = None
     short_features: Optional[np.ndarray] = None
     mid_features: Optional[np.ndarray] = None
+    buttered: Optional[np.ndarray] = None  # band-passed raw (filter_freq)
 
 
 def decode_sample(
@@ -160,6 +161,7 @@ def decode_sample(
     want_spectogram: bool = False,
     want_embeddings: bool = False,
     want_features: bool = False,
+    want_buttered: bool = False,
 ) -> DecodedSample:
     f = ex.decode_example(record)
 
@@ -184,6 +186,9 @@ def decode_sample(
             short_f = f["audio/short_f"].float_array().reshape(68, 60)
         if "audio/mid_f" in f:
             mid_f = f["audio/mid_f"].float_array().reshape(136, 3)
+    buttered = None
+    if want_buttered and "audio/buttered" in f:
+        buttered = f["audio/buttered"].float_array()
     return DecodedSample(
         raw=raw,
         tags=_split_tags(get_b("audio/class/ebird")),
@@ -201,4 +206,5 @@ def decode_sample(
         embeddings=emb,
         short_features=short_f,
         mid_features=mid_f,
+        buttered=buttered,
     )

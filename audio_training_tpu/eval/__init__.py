@@ -3,6 +3,7 @@ from audio_training_tpu.eval.confusion import (
     confusion_matrix,
     display_labels,
     load_raw_predictions,
+    mean_model_confusion,
     multi_label_confusion,
     plot_confusion_matrix,
     save_confusion,
@@ -23,6 +24,7 @@ __all__ = [
     "save_confusion",
     "save_raw_predictions",
     "load_raw_predictions",
+    "mean_model_confusion",
     "plot_confusion_matrix",
     "display_labels",
     "compare_confusions",

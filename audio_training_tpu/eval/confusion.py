@@ -158,6 +158,45 @@ def load_raw_predictions(npy_file: str | Path) -> dict:
     }
 
 
+def mean_model_confusion(
+    dumps: list[dict],
+    weights: list[float] | None = None,
+    threshold: float = 0.7,
+) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """Weighted-average ensemble confusion over per-model raw dumps of the
+    SAME test stream (audiomodel ``--model_2``: ``confusion(...,
+    other_models)`` averages predictions with weights [0.6, 0.4] before the
+    argmax/None thresholding, audiomodel.py:1363-1386,1432-1441).
+
+    Each dump is a ``load_raw_predictions`` dict; y_true and labels must
+    match across dumps (same deterministic test stream).  Returns
+    (cm, labels_with_None, y_pred_mean)."""
+    if len(dumps) < 2:
+        raise ValueError("need at least two raw dumps to ensemble")
+    if weights is None:
+        # the reference hard-codes [0.6, 0.4] for one extra model; extend
+        # uniformly beyond two
+        weights = [0.6, 0.4] if len(dumps) == 2 else [1.0] * len(dumps)
+    if len(weights) != len(dumps):
+        raise ValueError(f"{len(weights)} weights for {len(dumps)} dumps")
+    first = dumps[0]
+    for d in dumps[1:]:
+        if list(d["labels"]) != list(first["labels"]):
+            raise ValueError("raw dumps have different label sets")
+        if d["y_true"].shape != first["y_true"].shape or not np.array_equal(
+                d["y_true"], first["y_true"]):
+            raise ValueError(
+                "raw dumps disagree on y_true — not the same test stream"
+            )
+    y_pred = np.average(
+        np.stack([d["y_pred"] for d in dumps]), axis=0, weights=weights
+    )
+    cm, out_labels = single_label_confusion(
+        first["y_true"], y_pred, list(first["labels"]), threshold=threshold
+    )
+    return cm, out_labels, y_pred
+
+
 def plot_confusion_matrix(cm: np.ndarray, class_names: list[str]):
     """Rendered matrix with row-normalized percentages
     (evaluate.plot_confusion_matrix, evaluate.py:303-338)."""

@@ -608,6 +608,11 @@ def train_run(
             augment=True, sharding=sharding, with_latlng=with_latlng,
             shard_groups=train_shard_groups,
             workers=train_cfg.loader_workers,
+            exclude_low_samples=train_cfg.no_low_samples,
+            drop_bird_only=train_cfg.multi_label
+            and not train_cfg.use_bird_tags,
+            filter_freq=train_cfg.filter_freq,
+            random_butter=train_cfg.random_butter,
         )
         yield from loader
 
@@ -627,7 +632,11 @@ def train_run(
     val_streams = [
         RecordStream(v_shards, space, cfg.samples_per_clip,
                      seed=train_cfg.seed + i * 97, loop=False, cache=True,
-                     with_latlng=with_latlng)
+                     with_latlng=with_latlng,
+                     exclude_low_samples=train_cfg.no_low_samples,
+                     drop_bird_only=train_cfg.multi_label
+                     and not train_cfg.use_bird_tags,
+                     filter_freq=train_cfg.filter_freq)
         for i, v_shards in enumerate(val_shard_groups)
     ]
 

@@ -341,6 +341,33 @@ def test_writer_add_features(tmp_path, corpus):
     assert d.mid_features.reshape(136, -1).shape[0] == 136
 
 
+def test_writer_add_buttered(tmp_path, corpus):
+    """--add-buttered stores a Butterworth band-passed waveform variant for
+    samples with track freq bounds (the write side audiodataset.py:1301
+    intended but ships commented out; feeds train --filter-freq)."""
+    from audio_training_tpu.corpus.writer import process_recording
+    from audio_training_tpu.data.schema import decode_sample
+
+    rec = next(iter(corpus.recs.values()))
+    for s in rec.samples:
+        s.min_freq = 500.0
+        s.max_freq = 2000.0
+    encoded = process_recording(rec, CFG, add_buttered=True,
+                                check_duration=False)
+    assert encoded
+    d = decode_sample(encoded[0], want_buttered=True)
+    assert d.buttered is not None
+    assert d.buttered.size == d.raw.size
+    assert np.isfinite(d.buttered).all()
+    assert not np.allclose(d.buttered, d.raw)  # band-pass changed content
+    # without the flag no variant is stored
+    d0 = decode_sample(
+        process_recording(rec, CFG, check_duration=False)[0],
+        want_buttered=True,
+    )
+    assert d0.buttered is None
+
+
 def test_export_signal_data(tmp_path):
     """--create-signal-wavs (build.create_signal_data, build.py:840-912):
     per tag-key signal-region audio chunks + JSON offset index."""

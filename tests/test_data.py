@@ -237,6 +237,85 @@ def test_record_stream_count(tiny_dataset):
     assert stream.count() == 32
 
 
+def test_record_stream_no_low_samples(tmp_path):
+    """exclude_low_samples drops oversampled records (tfdataset.py:728-733,
+    filtering on the decoded audio/low_sample flag)."""
+    ont = load_ontology()
+    space = build_label_space(ont, ["bird", "kiwi", "noise"])
+    good = np.zeros(100, np.float32)
+    good[0] = 1
+    recs = [
+        encode_sample(SampleRecord(raw=good, tags=["kiwi"], low_sample=1)),
+        encode_sample(SampleRecord(raw=good, tags=["kiwi"], low_sample=0)),
+    ]
+    write_tfrecords(tmp_path / "train" / "0.tfrecord", recs)
+    shards = find_shards(tmp_path, "train")
+    assert len(list(RecordStream(shards, space, 100, loop=False))) == 2
+    assert len(list(RecordStream(
+        shards, space, 100, loop=False, exclude_low_samples=True
+    ))) == 1
+
+
+def test_record_stream_drops_bird_only(tmp_path):
+    """Samples tagged ONLY generic "bird" are dropped from multi-label
+    training unless use_bird_tags (others_filter, tfdataset.py:735-755) —
+    specific-species samples (whose one-hot also lights "bird" via the
+    extra hit) are kept."""
+    ont = load_ontology()
+    space = build_label_space(ont, ["bird", "kiwi", "noise"])
+    good = np.zeros(100, np.float32)
+    good[0] = 1
+    recs = [
+        encode_sample(SampleRecord(raw=good, tags=["bird"])),
+        encode_sample(SampleRecord(raw=good, tags=["kiwi"])),
+        encode_sample(SampleRecord(raw=good, tags=["noise"])),
+    ]
+    write_tfrecords(tmp_path / "train" / "0.tfrecord", recs)
+    shards = find_shards(tmp_path, "train")
+    assert len(list(RecordStream(shards, space, 100, loop=False))) == 3
+    kept = list(RecordStream(
+        shards, space, 100, loop=False, drop_bird_only=True, shuffle=False
+    ))
+    assert len(kept) == 2
+    bird_i, kiwi_i = space.index_of("bird"), space.index_of("kiwi")
+    ys = [y for _, y in kept]
+    # the kiwi sample (bird lit via the extra hit) survived
+    assert any(y[kiwi_i] == 1 and y[bird_i] == 1 for y in ys)
+    assert not any(y[bird_i] == 1 and y.sum() == 1 for y in ys)
+
+
+def test_record_stream_filter_freq_buttered(tmp_path):
+    """filter_freq trains on the stored band-passed variant when the record
+    carries one (tfdataset.py:1066-1078); random_butter makes it a
+    per-visit coin flip."""
+    ont = load_ontology()
+    space = build_label_space(ont, ["bird", "kiwi", "noise"])
+    plain = np.zeros(100, np.float32)
+    plain[0] = 1
+    band = np.full(100, 0.5, np.float32)
+    recs = [
+        encode_sample(SampleRecord(raw=plain, tags=["kiwi"], buttered=band)),
+        encode_sample(SampleRecord(raw=plain, tags=["noise"])),  # no variant
+    ]
+    write_tfrecords(tmp_path / "train" / "0.tfrecord", recs)
+    shards = find_shards(tmp_path, "train")
+
+    raws = [r for r, _ in RecordStream(shards, space, 100, loop=False,
+                                       shuffle=False)]
+    assert all(r[1] == 0.0 for r in raws)  # default: plain raw
+    raws = [r for r, _ in RecordStream(shards, space, 100, loop=False,
+                                       shuffle=False, filter_freq=True)]
+    assert raws[0][1] == 0.5  # buttered substituted
+    assert raws[1][1] == 0.0  # record without a variant: plain
+    # random_butter=1.0 always picks the variant; 0.0 means "always" too
+    # (the probability gate only arms when > 0, matching random_butter=0
+    # -> unconditional butter in the reference decode)
+    raws = [r for r, _ in RecordStream(shards, space, 100, loop=False,
+                                       shuffle=False, filter_freq=True,
+                                       random_butter=1.0)]
+    assert raws[0][1] == 0.5
+
+
 def test_interleave_drains_all():
     a = iter([1, 2, 3])
     b = iter(["x", "y"])

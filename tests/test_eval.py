@@ -116,6 +116,48 @@ def test_save_confusion_outputs(tmp_path):
     np.testing.assert_array_equal(np.load(tmp_path / "c.npy"), cm)
 
 
+def test_mean_model_confusion(tmp_path):
+    """--model_2 parity: weighted-average ensemble over raw dumps of the
+    same test stream, reference weights [0.6, 0.4]
+    (audiomodel.py:1363-1386,1432-1441)."""
+    import numpy as np
+
+    from audio_training_tpu.eval import (
+        load_raw_predictions,
+        mean_model_confusion,
+        save_raw_predictions,
+    )
+
+    labels = ["kiwi", "rain"]
+    y_true = np.array([[1, 0], [0, 1], [1, 0]], np.float32)
+    # model A is confident but wrong on row 2; model B fixes it: the 0.6/0.4
+    # average lands on the truth (0.6*0.2 + 0.4*0.95 = 0.5 < 0.6*0.8 +...).
+    pred_a = np.array([[0.9, 0.1], [0.1, 0.9], [0.2, 0.8]], np.float32)
+    pred_b = np.array([[0.95, 0.05], [0.05, 0.95], [0.99, 0.01]], np.float32)
+    pa = save_raw_predictions(tmp_path / "a", labels, pred_a, y_true)
+    pb = save_raw_predictions(tmp_path / "b", labels, pred_b, y_true)
+    dumps = [load_raw_predictions(pa), load_raw_predictions(pb)]
+    cm, out_labels, y_mean = mean_model_confusion(dumps, threshold=0.4)
+    assert out_labels == ["kiwi", "rain", "None"]
+    np.testing.assert_allclose(y_mean, 0.6 * pred_a + 0.4 * pred_b)
+    assert cm[0, 0] == 2 and cm[1, 1] == 1  # row 2 rescued by the ensemble
+
+    # mismatched y_true = not the same stream -> refused
+    pc = save_raw_predictions(tmp_path / "c", labels, pred_b,
+                              np.roll(y_true, 1, 0))
+    with pytest.raises(ValueError, match="y_true"):
+        mean_model_confusion([dumps[0], load_raw_predictions(pc)])
+
+    # the CLI subcommand writes the ensemble confusion artifacts
+    from audio_training_tpu.cli.evaluate import main as eval_main
+
+    out = tmp_path / "mean-model"
+    rc = eval_main(["mean", str(pa), str(pb), "--threshold", "0.4",
+                    "--out", str(out)])
+    assert rc == 0
+    assert (tmp_path / "mean-model.npy").exists()
+
+
 def test_plot_helpers_write_files(tmp_path):
     """plot_utils parity surface (plot_mel/plot_mel_signals/plot_waveform)
     renders to files on the Agg backend."""
