@@ -56,6 +56,9 @@ def parse_args(argv=None):
     parser.add_argument("--add-features", action="count",
                         help="Store hand-crafted short/mid features per "
                              "sample (audiowriter add_features parity)")
+    parser.add_argument("--plot-signal", action="count",
+                        help="Per-label signal-percent histograms "
+                             "(otherdata.plot_signal, otherdata.py:963-984)")
     parser.add_argument("--add-buttered", action="count",
                         help="Store a Butterworth band-passed variant per "
                              "sample with track freq bounds (feeds train "
@@ -113,6 +116,12 @@ def main(argv=None) -> int:
     logging.info("Loaded %s recordings, %s samples, labels %s",
                  len(dataset.recs), len(dataset.samples),
                  sorted(dataset.labels))
+
+    if args.plot_signal:
+        from audio_training_tpu.eval.plots import plot_signal_percent
+
+        written = plot_signal_percent(dataset, Path(args.dir))
+        logging.info("Wrote %s signal-percent plots", len(written))
 
     if args.create_signal_wavs:
         from audio_training_tpu.corpus.signal_data import export_signal_data

@@ -77,6 +77,36 @@ def plot_waveform(data: np.ndarray, sr: int, path: str | Path | None = None):
     return fig
 
 
+def plot_signal_percent(dataset, out_dir) -> list[Path]:
+    """Per-label histogram of track signal-percent (build --plot-signal ->
+    otherdata.plot_signal, otherdata.py:963-984): one PNG per label under
+    ``out_dir/signal-graphs``, signal percent bucketed into tenths."""
+    plt = _plt()
+    scale = 10
+    label_percents: dict[str, list[int]] = {}
+    for rec in dataset.recs.values():
+        for t in rec.tracks:
+            pct = t.signal_percent
+            if pct is None:
+                continue
+            for label in t.human_tags:
+                buckets = label_percents.setdefault(label, [0] * (scale + 1))
+                buckets[round(pct * scale)] += 1
+    save_dir = Path(out_dir) / "signal-graphs"
+    save_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for label, values in label_percents.items():
+        plt.clf()
+        plt.plot(np.arange(scale + 1), values, marker="o", linestyle="-")
+        plt.xlabel("Signal percent")
+        plt.ylabel("Tracks")
+        plt.title(label)
+        path = save_dir / f"{label}.png"
+        plt.savefig(str(path))
+        written.append(path)
+    return written
+
+
 def plot_track_rms(metadata_file, out_dir=None):
     """Render per-track bird/noise/upper band-RMS panels from an enriched
     sidecar (otherdata.load_rms_meta/graph_rms, otherdata.py:1560-1830

@@ -116,6 +116,26 @@ def test_save_confusion_outputs(tmp_path):
     np.testing.assert_array_equal(np.load(tmp_path / "c.npy"), cm)
 
 
+def test_plot_signal_percent(tmp_path):
+    """build --plot-signal: per-label signal-percent histogram PNGs
+    (otherdata.plot_signal, otherdata.py:963-984)."""
+    from types import SimpleNamespace
+
+    from audio_training_tpu.eval.plots import plot_signal_percent
+
+    tracks = [
+        SimpleNamespace(signal_percent=0.8, human_tags={"kiwi"}),
+        SimpleNamespace(signal_percent=0.3, human_tags={"kiwi", "rain"}),
+        SimpleNamespace(signal_percent=None, human_tags={"rain"}),  # skipped
+    ]
+    dataset = SimpleNamespace(recs={"r1": SimpleNamespace(tracks=tracks)})
+    written = plot_signal_percent(dataset, tmp_path)
+    names = sorted(p.name for p in written)
+    assert names == ["kiwi.png", "rain.png"]
+    assert all(p.stat().st_size > 500 for p in written)
+    assert (tmp_path / "signal-graphs" / "kiwi.png").exists()
+
+
 def test_mean_model_confusion(tmp_path):
     """--model_2 parity: weighted-average ensemble over raw dumps of the
     same test stream, reference weights [0.6, 0.4]
