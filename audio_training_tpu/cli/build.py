@@ -118,10 +118,13 @@ def main(argv=None) -> int:
                  sorted(dataset.labels))
 
     if args.plot_signal:
+        # plot-only invocation: the reference returns right after plotting
+        # (build.py:699-704)
         from audio_training_tpu.eval.plots import plot_signal_percent
 
         written = plot_signal_percent(dataset, Path(args.dir))
         logging.info("Wrote %s signal-percent plots", len(written))
+        return 0
 
     if args.create_signal_wavs:
         from audio_training_tpu.corpus.signal_data import export_signal_data

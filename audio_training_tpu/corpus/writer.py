@@ -159,14 +159,20 @@ def process_recording(
             spectogram=data.spectogram,
             mixed_label=sample.mixed_label,
         )
-        if add_buttered and (sample.min_freq or 0) >= 0 and (
-                sample.max_freq or 0) > 0:
+        max_f = sample.max_freq or 0
+        min_f = sample.min_freq or 0
+        if add_buttered and max_f > 0 and min_f < max_f:
+            # butter_bandpass_sos additionally returns None (-> identity)
+            # on malformed bounds, so a bad track can't raise here and take
+            # the whole recording down with it
             from audio_training_tpu.ops.features import butter_bandpass_filter
 
-            band = butter_bandpass_filter(
-                data.raw, sample.min_freq or 0, sample.max_freq, fs=sr
-            )
-            if np.count_nonzero(band) and np.isfinite(band).all():
+            band = butter_bandpass_filter(data.raw, min_f, max_f, fs=sr)
+            if (
+                band is not data.raw
+                and np.count_nonzero(band)
+                and np.isfinite(band).all()
+            ):
                 record.buttered = band.astype(np.float32)
         if embedder is not None and embedder.available:
             pending_embed.append((record, data.raw))

@@ -134,12 +134,24 @@ class FeatureStream:
         loop: bool = False,
         seed: int = 0,
         shuffle: bool = True,
+        exclude_low_samples: bool = False,
+        drop_bird_only: bool = False,
     ):
         self.shards = list(shards)
         self.space = label_space
         self.loop = loop
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        # cnn-features/merge flow through the reference's MAIN tfdataset
+        # pipeline (only_features), so its decode-time sample filters apply
+        # here too (tfdataset.py:728-755); the Perch EmbeddingStream
+        # mirrors tfdatasetembeddings.py, which has no such filters
+        self.exclude_low_samples = exclude_low_samples
+        self._bird_only = None
+        if drop_bird_only and "bird" in label_space.labels:
+            m = np.zeros(label_space.num_labels, np.float32)
+            m[label_space.index_of("bird")] = 1.0
+            self._bird_only = m
         self._tag_index = {l: i for i, l in
                            enumerate(label_space.source_labels)}
 
@@ -162,6 +174,8 @@ class FeatureStream:
                                           want_features=True)
                     except Exception:
                         continue
+                    if self.exclude_low_samples and s.low_sample:
+                        continue
                     if s.short_features is None or s.mid_features is None:
                         continue
                     try:
@@ -178,6 +192,9 @@ class FeatureStream:
                     y = self.space.one_hot(ids)
                     if y.sum() == 0:
                         continue
+                    if self._bird_only is not None and np.array_equal(
+                            y, self._bird_only):
+                        continue  # tfdataset.py:751-755
                     n_yielded += 1
                     yield short, mid, y
             if not self.loop or n_yielded == 0:

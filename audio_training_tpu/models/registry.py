@@ -291,10 +291,13 @@ def fold_gray_stem(spec: ModelSpec, variables):
     args = dict(module.backbone_args)
     for key in ("norm_mean", "norm_var", "extra_rescale"):
         vals = args.get(key, ())
-        if len(set(vals)) > 1:
+        if len(vals):
+            # even channel-UNIFORM constants break the fold: the backbone
+            # applies (x - mean) with a length-3 vector, broadcasting the
+            # 1-channel input back to 3 channels before the folded stem
             raise ValueError(
-                f"backbone has per-channel {key}={vals}; the gray fold is "
-                "only exact for channel-uniform preprocessing"
+                f"backbone applies per-channel {key}={vals}; the gray fold "
+                "requires identity preprocessing (empty norm constants)"
             )
     if module.backbone_name.startswith("efficientnetv2") and args.get(
             "preprocess", True):

@@ -318,6 +318,11 @@ def butter_bandpass_sos(lowcut: float, highcut: float, fs: float, order: int = 2
         return butter(order, low, btype="highpass", output="sos")
     if low <= 0:
         return butter(order, high, btype="lowpass", output="sos")
+    if low >= high:
+        # non-increasing critical frequencies would raise in scipy; the
+        # reference's write side returns None for this malformed-metadata
+        # case (audiodataset.py:1369-1372)
+        return None
     return butter(order, [low, high], btype="bandpass", output="sos")
 
 

@@ -188,9 +188,15 @@ def _train_vector_run(run_dir, data_dirs, split_shards, space, ontology,
         if not sh:
             return None
         if kind == ("embedding",):
+            # tfdatasetembeddings.py has no decode-time sample filters
             return EmbeddingStream(sh, space, loop=loop,
                                    seed=train_cfg.seed)
-        return FeatureStream(sh, space, loop=loop, seed=train_cfg.seed)
+        return FeatureStream(
+            sh, space, loop=loop, seed=train_cfg.seed,
+            exclude_low_samples=train_cfg.no_low_samples,
+            drop_bird_only=train_cfg.multi_label
+            and not train_cfg.use_bird_tags,
+        )
 
     def batches(stream):
         it = iter(stream)
@@ -321,6 +327,11 @@ def _train_merge_run(run_dir, data_dirs, split_shards, space, ontology,
             sh, space, cfg.samples_per_clip, loop=loop,
             seed=train_cfg.seed + seed_offset, with_features=True,
             cache=split != "train",
+            exclude_low_samples=train_cfg.no_low_samples,
+            drop_bird_only=train_cfg.multi_label
+            and not train_cfg.use_bird_tags,
+            filter_freq=train_cfg.filter_freq,
+            random_butter=train_cfg.random_butter,
         )
 
     def batches(stream, mix_stream=None):
@@ -584,6 +595,12 @@ def train_run(
     train_shard_groups = (
         [split_shards["train"]] if split_shards is not None else None
     )
+    stream_filters = dict(
+        exclude_low_samples=train_cfg.no_low_samples,
+        drop_bird_only=train_cfg.multi_label and not train_cfg.use_bird_tags,
+        filter_freq=train_cfg.filter_freq,
+        random_butter=train_cfg.random_butter,
+    )
     persistent_train = None
     if cache_train:
         persistent_train = iter(build_training_stream(
@@ -591,6 +608,7 @@ def train_run(
             batch_size=train_cfg.batch_size, seed=train_cfg.seed,
             augment=True, sharding=sharding, with_latlng=with_latlng,
             shard_groups=train_shard_groups, cache=True,
+            **stream_filters,
         ))
 
     def train_batches(epoch):
@@ -608,11 +626,7 @@ def train_run(
             augment=True, sharding=sharding, with_latlng=with_latlng,
             shard_groups=train_shard_groups,
             workers=train_cfg.loader_workers,
-            exclude_low_samples=train_cfg.no_low_samples,
-            drop_bird_only=train_cfg.multi_label
-            and not train_cfg.use_bird_tags,
-            filter_freq=train_cfg.filter_freq,
-            random_butter=train_cfg.random_butter,
+            **stream_filters,
         )
         yield from loader
 
@@ -633,10 +647,7 @@ def train_run(
         RecordStream(v_shards, space, cfg.samples_per_clip,
                      seed=train_cfg.seed + i * 97, loop=False, cache=True,
                      with_latlng=with_latlng,
-                     exclude_low_samples=train_cfg.no_low_samples,
-                     drop_bird_only=train_cfg.multi_label
-                     and not train_cfg.use_bird_tags,
-                     filter_freq=train_cfg.filter_freq)
+                     **stream_filters)
         for i, v_shards in enumerate(val_shard_groups)
     ]
 

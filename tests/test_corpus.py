@@ -367,6 +367,16 @@ def test_writer_add_buttered(tmp_path, corpus):
     )
     assert d0.buttered is None
 
+    # malformed bounds (min >= max would raise in scipy butter) must not
+    # take down the recording — samples still written, just no variant
+    for s in rec.samples:
+        s.min_freq = 3000.0
+        s.max_freq = 2000.0
+    bad = process_recording(rec, CFG, add_buttered=True,
+                            check_duration=False)
+    assert len(bad) == len(encoded)
+    assert decode_sample(bad[0], want_buttered=True).buttered is None
+
 
 def test_export_signal_data(tmp_path):
     """--create-signal-wavs (build.create_signal_data, build.py:840-912):
