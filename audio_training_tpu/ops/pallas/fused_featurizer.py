@@ -13,15 +13,30 @@ stft+mel) and ``tfpcen.py:33-99`` (EMA smoother + PCEN).
 
 Mosaic layout rules this design obeys (probed on the target toolchain —
 notably, a *dynamic* lane-slice base combined with a non-128-aligned static
-offset crashes the backend compiler, so the kernel grids over clips only and
-unrolls the frame tiles in Python, making every slice offset fully static):
+offset crashes the backend compiler, so framing always slices at fully
+static offsets):
 
+* clips are blocked EIGHT per grid step — a (8, L) block keeps the raw
+  operand in its native T(8,128) layout, where the round-2 (1, 1, L)
+  single-clip block forced a T(1,128) relayout copy of the whole padded
+  batch (~1.2 ms/iter measured: ``reshape`` 0.72 + ``pad`` 0.50).  A
+  ``fori_loop`` walks the 8 rows; the only dynamic slicing is the
+  lane-ALIGNED full-row copy into a row scratch (offset 0, 128-multiple
+  width — the safe class), after which every framing slice is static,
+  exactly as before.  The loop body is traced once, so compile time stays
+  at the single-clip kernel's level (the alternative — statically
+  unrolling 8 clips — was measured at 28 min of Mosaic compile and a
+  >100 MB scoped-vmem stack, docs/PERFORMANCE.md);
 * the whole clip runs as ONE frame tile when the frame scratch fits VMEM
-  (<= 768 frames; the production 513-frame clip pads to 640 either way),
-  so each DFT stage is a single big MXU dot per clip — measurably faster
-  than 128-frame tiles, whose 4*n_tiles small dots pay dispatch overhead
-  per dot.  Longer inputs fall back to 128-frame tiles (every slice offset
-  is static either way, so no hop-alignment constraint exists);
+  (<= 768 frames), so each DFT stage is a single big MXU dot per clip —
+  measurably faster than 128-frame tiles, whose 4*n_tiles small dots pay
+  dispatch overhead per dot.  The tile is rounded to the 8-sublane
+  granularity (513 production frames -> 520), not to 128: the stage-1
+  output's frame dim sits on SUBLANES, so 520 pays 19% fewer stage-1
+  sublane tiles than the round-2 640, and the raw operand needs 34 k
+  fewer padding samples per clip.  Longer inputs fall back to 128-frame
+  tiles (every slice offset is static either way, so no hop-alignment
+  constraint exists);
 * no lane-dimension merges: the only reshapes are the minor-dim split
   ``(F, 4096) -> (F, 32, 128)`` and the sublane merge ``(32, 32, 128) ->
   (1024, 128)``, both layout-preserving;
@@ -133,15 +148,18 @@ def pack_mel_flat(mel_weights: np.ndarray) -> np.ndarray:
     return out
 
 
+ROWS = 8  # clips per grid step: keeps the raw operand in T(8,128)
+
+
 def _featurizer_kernel(
     params_ref,  # SMEM (8,): gain bias root smooth eps a_power ...
-    raw_ref,  # (1, 1, L) one clip
+    raw_ref,  # (ROWS, L) eight clips
     d1ri_ref,  # (2*R1, R1)
     e_re_ref,  # (R1, 2*K2C, R2)
     e_im_ref,  # (R1, 2*K2C, R2)
     win_ref,  # (1, N_FFT)
     melw_ref,  # (M_pad, R1*K2C)
-    *rest,  # [stats_ref (M_pad, 2) when frontend] out_ref, frames_scr
+    *rest,  # [stats_ref (M_pad, 2)] out_ref, frames_scr, row_scr
     hop: int,
     tile: int,
     n_tiles: int,
@@ -156,24 +174,11 @@ def _featurizer_kernel(
     (badwinner2.py:230-233) to the mel output — the whole pre-CNN chain
     then runs in this one kernel."""
     if frontend:
-        stats_ref, out_ref, frames_scr = rest
+        stats_ref, out_ref, frames_scr, row_scr = rest
     else:
-        out_ref, frames_scr = rest
+        out_ref, frames_scr, row_scr = rest
     m_pad = out_ref.shape[1]
-    win = win_ref[:]
-    win_bias = None
-    if norm_wave_len:
-        # y = 2*((x - mn)/(mx - mn) + 1e-6 - 0.5): fold into the window
-        # multiply as y*win = x*(scale*win) + (bias*win).  The zero pad
-        # beyond the clip must stay zero in NORMALIZED space (tf pad_end
-        # pads the normalized signal), handled by static masking below.
-        seg = raw_ref[0, :, :norm_wave_len]
-        mn = jnp.min(seg)
-        rng_v = jnp.max(seg) - mn
-        scale = 2.0 / rng_v
-        bias = 2e-6 - 1.0 - 2.0 * mn / rng_v
-        win_bias = win * bias
-        win = win * scale
+    win0 = win_ref[:]
 
     if do_pcen:
         gain = jnp.minimum(params_ref[0], 1.0)
@@ -197,94 +202,120 @@ def _featurizer_kernel(
     d1ri_op, e_re_op = d1ri_ref[:], e_re_ref[:]
     e_im_op, melw_op = e_im_ref[:], melw_ref[:]
 
-    carry = None
-    for g in range(n_tiles):
-        base = g * tile * hop
-        # ---- framing + window: all offsets static ----------------------
-        # NOTE: scratch/operands stay f32 even at "default" precision —
-        # explicit bf16 scratch + bf16 operators were measured 28.6 ms vs
-        # 13.5 ms (Mosaic's implicit per-dot converts beat explicit bf16
-        # operands, whose 16-sublane packing degrades the contracted-
-        # sublane-dim dots).  See docs/PERFORMANCE.md round 3.
-        for i in range(tile):
-            start = base + hop * i
-            row = raw_ref[0, :, start : start + N_FFT] * win
-            if win_bias is not None:
-                # static per-frame boundary: samples past the clip are
-                # zero-padding of the NORMALIZED signal, so the affine
-                # bias must not leak into them
-                v = min(max(norm_wave_len - start, 0), N_FFT)
-                if v == N_FFT:
-                    row = row + win_bias
-                elif v > 0:
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, N_FFT), 1
-                    )
-                    row = row + jnp.where(lane < v, win_bias, 0.0)
-            frames_scr[i : i + 1, :] = row
+    def row_body(r, _):
+        # Aligned dynamic-sublane copy (lane offset 0, 128-multiple width):
+        # the ONLY dynamic slice in the kernel.  Framing below then slices
+        # the scratch at fully static offsets, as the backend requires.
+        row_scr[:, :] = raw_ref[pl.ds(r, 1), :]
+        win = win0
+        win_bias = None
+        if norm_wave_len:
+            # y = 2*((x - mn)/(mx - mn) + 1e-6 - 0.5): fold into the window
+            # multiply as y*win = x*(scale*win) + (bias*win).  The zero pad
+            # beyond the clip must stay zero in NORMALIZED space (tf pad_end
+            # pads the normalized signal), handled by static masking below.
+            seg = row_scr[:, :norm_wave_len]
+            mn = jnp.min(seg)
+            rng_v = jnp.max(seg) - mn
+            scale = 2.0 / rng_v
+            bias_w = 2e-6 - 1.0 - 2.0 * mn / rng_v
+            win_bias = win0 * bias_w
+            win = win0 * scale
 
-        # ---- stage 1: contract n1; re/im stacked into M ----------------
-        x2 = frames_scr[:].reshape(tile, R1, R2)  # (F, n1, n2)
-        a = _dot(
-            d1ri_op, x2, (((1,), (1,)), ((), ())), precision
-        )  # (2*R1, F, n2)
+        carry = None
+        for g in range(n_tiles):
+            base = g * tile * hop
+            # ---- framing + window: all offsets static ------------------
+            # NOTE: scratch/operands stay f32 even at "default" precision —
+            # explicit bf16 scratch + bf16 operators were measured 28.6 ms
+            # vs 13.5 ms (Mosaic's implicit per-dot converts beat explicit
+            # bf16 operands, whose 16-sublane packing degrades the
+            # contracted-sublane-dim dots).  See docs/PERFORMANCE.md.
+            for i in range(tile):
+                start = base + hop * i
+                row = row_scr[:, start : start + N_FFT] * win
+                if win_bias is not None:
+                    # static per-frame boundary: samples past the clip are
+                    # zero-padding of the NORMALIZED signal, so the affine
+                    # bias must not leak into them
+                    v = min(max(norm_wave_len - start, 0), N_FFT)
+                    if v == N_FFT:
+                        row = row + win_bias
+                    elif v > 0:
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, N_FFT), 1
+                        )
+                        row = row + jnp.where(lane < v, win_bias, 0.0)
+                frames_scr[i : i + 1, :] = row
 
-        # ---- stage 2 (twiddle folded): batched over k1 ------------------
-        dn = (((2,), (2,)), ((0,), (0,)))
-        x_ri = _dot(
-            e_re_op, a[:R1], dn, precision
-        ) + _dot(
-            e_im_op, a[R1:], dn, precision
-        )  # (k1, 2*K2C, F)
+            # ---- stage 1: contract n1; re/im stacked into M ------------
+            x2 = frames_scr[:].reshape(tile, R1, R2)  # (F, n1, n2)
+            a = _dot(
+                d1ri_op, x2, (((1,), (1,)), ((), ())), precision
+            )  # (2*R1, F, n2)
 
-        # ---- power + mel -------------------------------------------------
-        power = (
-            x_ri[:, :K2C, :] * x_ri[:, :K2C, :]
-            + x_ri[:, K2C:, :] * x_ri[:, K2C:, :]
-        )  # (k1, k2, F)
-        mel = _dot(
-            melw_op, power.reshape(R1 * K2C, tile),
-            (((1,), (0,)), ((), ())), precision,
-        )  # (M_pad, F)
+            # ---- stage 2 (twiddle folded): batched over k1 --------------
+            dn = (((2,), (2,)), ((0,), (0,)))
+            x_ri = _dot(
+                e_re_op, a[:R1], dn, precision
+            ) + _dot(
+                e_im_op, a[R1:], dn, precision
+            )  # (k1, 2*K2C, F)
 
-        if not do_pcen:
-            if frontend:
-                # badwinner2 frontend: x**sigmoid(a) (MagTransform,
-                # badwinner2.py:32-49) then the per-mel-row BN affine
-                # y = x*s + b with s = 1/sqrt(var+eps), b = -mean*s
-                # (BatchNorm(axis=1, no scale/center), badwinner2.py:233).
-                # mel >= 0; the 1e-30 clamp maps power 0 to ~exp(-69g)~=0
-                # (denormals flush to zero on this backend).
-                a_pw = jnp.clip(params_ref[5], -2.0, 1.0)
-                gpow = 1.0 / (1.0 + jnp.exp(-a_pw))
-                mel = jnp.exp(gpow * jnp.log(jnp.maximum(mel, 1e-30)))
-                mel = mel * stats_ref[:, 0:1] + stats_ref[:, 1:2]
-            out_ref[0, :, g * tile : (g + 1) * tile] = mel
-            continue
+            # ---- power + mel ---------------------------------------------
+            power = (
+                x_ri[:, :K2C, :] * x_ri[:, :K2C, :]
+                + x_ri[:, K2C:, :] * x_ri[:, K2C:, :]
+            )  # (k1, k2, F)
+            mel = _dot(
+                melw_op, power.reshape(R1 * K2C, tile),
+                (((1,), (0,)), ((), ())), precision,
+            )  # (M_pad, F)
 
-        # ---- PCEN: EMA as one lower-triangular Toeplitz matmul ----------
-        m_scan = jax.lax.dot_general(
-            mel * w, ema_op,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (M_pad, F): sum_{j<=t} d^(t-j) * w * mel[:, j]
+            if not do_pcen:
+                if frontend:
+                    # badwinner2 frontend: x**sigmoid(a) (MagTransform,
+                    # badwinner2.py:32-49) then the per-mel-row BN affine
+                    # y = x*s + b with s = 1/sqrt(var+eps), b = -mean*s
+                    # (BatchNorm(axis=1, no scale/center), badwinner2.py:
+                    # 233).  mel >= 0; the 1e-30 clamp maps power 0 to
+                    # ~exp(-69g)~=0 (denormals flush to zero here).
+                    a_pw = jnp.clip(params_ref[5], -2.0, 1.0)
+                    gpow = 1.0 / (1.0 + jnp.exp(-a_pw))
+                    mel = jnp.exp(gpow * jnp.log(jnp.maximum(mel, 1e-30)))
+                    mel = mel * stats_ref[:, 0:1] + stats_ref[:, 1:2]
+                out_ref[pl.ds(r, 1), :, g * tile : (g + 1) * tile] = (
+                    mel[None]
+                )
+                continue
 
-        # carry: m_t += d^(t+1) * s_prev; at the clip start the reference
-        # seeds the EMA with frame 0 (tfpcen.py:33-39), so s_prev = mel[:,0].
-        if carry is None:
-            s_prev = jnp.sum(mel * onehot0, axis=1, keepdims=True)
-        else:
-            s_prev = carry
-        m_full = m_scan + decay_pow * s_prev
-        carry = jnp.sum(m_full * onehot_last, axis=1, keepdims=True)
+            # ---- PCEN: EMA as one lower-triangular Toeplitz matmul ------
+            m_scan = jax.lax.dot_general(
+                mel * w, ema_op,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (M_pad, F): sum_{j<=t} d^(t-j) * w * mel[:, j]
 
-        # PCEN pointwise (tfpcen.py:89-99); global min-max runs outside.
-        smooth_pow = jnp.exp(gain * jnp.log(eps + m_full))
-        out_ref[0, :, g * tile : (g + 1) * tile] = (
-            jnp.exp(one_over_root * jnp.log(mel / smooth_pow + bias))
-            - log_bias_root
-        )
+            # carry: m_t += d^(t+1) * s_prev; at the clip start the
+            # reference seeds the EMA with frame 0 (tfpcen.py:33-39), so
+            # s_prev = mel[:, 0].
+            if carry is None:
+                s_prev = jnp.sum(mel * onehot0, axis=1, keepdims=True)
+            else:
+                s_prev = carry
+            m_full = m_scan + decay_pow * s_prev
+            carry = jnp.sum(m_full * onehot_last, axis=1, keepdims=True)
+
+            # PCEN pointwise (tfpcen.py:89-99); global min-max runs outside.
+            smooth_pow = jnp.exp(gain * jnp.log(eps + m_full))
+            out_ref[pl.ds(r, 1), :, g * tile : (g + 1) * tile] = (
+                jnp.exp(one_over_root * jnp.log(mel / smooth_pow + bias))
+                - log_bias_root
+            )[None]
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, row_body, 0)
 
 
 @functools.partial(
@@ -306,7 +337,13 @@ def _fused_call(
     fe_stats: jax.Array | None = None,  # (M_pad, 2) badwinner2 BN affine
 ) -> jax.Array:
     b, length = raw_padded.shape
-    raw_padded = raw_padded.reshape(b, 1, length)
+    # Pad the batch to the 8-clip row block (keeps the operand T(8,128));
+    # dead rows are computed and sliced off — the featurizer is ~40 us/clip,
+    # so a short final block costs less than the relayout the (1, 1, L)
+    # single-clip block forced (docs/PERFORMANCE.md round 3).
+    b_pad = -(-b // ROWS) * ROWS
+    if b_pad != b:
+        raw_padded = jnp.pad(raw_padded, ((0, b_pad - b), (0, 0)))
     m_pad = melw_pad.shape[0]
     consts = _dft_constants(hop)
     frontend = fe_stats is not None
@@ -328,7 +365,7 @@ def _fused_call(
     e_im = jnp.asarray(consts["e_im"])
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, length), lambda bb: (bb, 0, 0),
+        pl.BlockSpec((ROWS, length), lambda bb: (bb, 0),
                      memory_space=pltpu.VMEM),
         const_spec((2 * R1, R1)),
         const_spec((R1, 2 * K2C, R2)),
@@ -341,32 +378,39 @@ def _fused_call(
     if frontend:
         in_specs.append(const_spec((m_pad, 2)))
         operands.append(fe_stats)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b_pad // ROWS,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, m_pad, frames_total), lambda bb: (bb, 0, 0),
+        out_specs=pl.BlockSpec((ROWS, m_pad, frames_total),
+                               lambda bb: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tile, N_FFT), jnp.float32)],
-        out_shape=jax.ShapeDtypeStruct((b, m_pad, frames_total), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, N_FFT), jnp.float32),
+            pltpu.VMEM((1, length), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct(
+            (b_pad, m_pad, frames_total), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             # Clips are independent (the PCEN carry only flows across tiles
-            # WITHIN one invocation) — "parallel" lets megacore generations
-            # split the clip grid across TensorCores.  The default 16 MB
+            # WITHIN one row) — "parallel" lets megacore generations split
+            # the row-block grid across TensorCores.  The default 16 MB
             # scoped-vmem budget is too small for the unrolled body
             # (25.8 MB measured at 5 tiles).
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * mac * b * n_tiles),
+            flops=int(2 * mac * b_pad * n_tiles),
             bytes_accessed=int(
-                b * length * 4 + b * m_pad * frames_total * 4
+                b_pad * length * 4 + b_pad * m_pad * frames_total * 4
             ),
-            transcendentals=int(b * n_tiles * m_pad * tile * 4),
+            transcendentals=int(b_pad * n_tiles * m_pad * tile * 4),
         ),
         interpret=interpret,
     )(*operands)
+    return out[:b]
 
 
 class FusedFeaturizer:
@@ -415,14 +459,18 @@ class FusedFeaturizer:
     # One tile per clip when the frame scratch fits comfortably in VMEM
     # (tile*4096*4 bytes; 768 frames = 12 MB): the whole clip runs as 4 big
     # MXU dots instead of 4*n_tiles small ones — dot dispatch overhead was
-    # a measurable slice of the 128-frame-tile kernel.  Longer inputs fall
+    # a measurable slice of the 128-frame-tile kernel.  The single tile is
+    # rounded to 8 frames (the sublane granularity of the stage-1 output's
+    # frame dim), not 128: the production 513-frame clip runs as 520
+    # frames instead of the round-2 640 — 19% fewer stage-1 sublane tiles
+    # and ~34k fewer padding samples read per clip.  Longer inputs fall
     # back to 128-frame tiles.  No hop-alignment constraint exists in
     # either mode: every slice offset is fully static (the Python-unrolled
     # framing loop), and tile bases g*128*hop are trivially lane-aligned.
     MAX_SINGLE_TILE = 768
 
     def _tiling(self, frames: int) -> tuple[int, int]:
-        frames_pad = max(-(-frames // 128) * 128, 128)
+        frames_pad = max(-(-frames // 8) * 8, 8)
         if frames_pad <= self.MAX_SINGLE_TILE:
             return frames_pad, 1
         return TILE, -(-frames // TILE)
