@@ -37,9 +37,17 @@ static offsets):
   fewer padding samples per clip.  Longer inputs fall back to 128-frame
   tiles (every slice offset is static either way, so no hop-alignment
   constraint exists);
-* no lane-dimension merges: the only reshapes are the minor-dim split
-  ``(F, 4096) -> (F, 32, 128)`` and the sublane merge ``(32, 32, 128) ->
-  (1024, 128)``, both layout-preserving;
+* framing assembles each frame as a (32, 128) tile from a (L/128, 128)
+  row-major view of the clip (the reshape is a free minor-dim split done
+  OUTSIDE the kernel): frame t starting at sample 128q + o is two
+  full-sublane stores — rows [q, q+32) lanes [o, 128) and rows [q+1, q+33)
+  lanes [0, o) — instead of one (1, 4096) single-sublane store.  A
+  decomposition probe measured the (1, 4096) framing at 7.6 ms of the
+  11.8 ms mel kernel (the store unit ran at 1/8 sublane utilization —
+  the round-3 doc's "~0.8 ms framing" estimate was wrong and the dots
+  were never the wall); the tile framing is bitwise identical and ~2 ms
+  faster end-to-end (docs/PERFORMANCE.md round 3b);
+* no lane-dimension merges anywhere;
 * all matmuls keep the lane operand dimension at 128 and run on the MXU
   (re/im stacked into the M dimension of stage 1);
 * PCEN's causal EMA over a 128-frame tile is ONE lower-triangular Toeplitz
@@ -153,11 +161,11 @@ ROWS = 8  # clips per grid step: keeps the raw operand in T(8,128)
 
 def _featurizer_kernel(
     params_ref,  # SMEM (8,): gain bias root smooth eps a_power ...
-    raw_ref,  # (ROWS, L) eight clips
+    raw_ref,  # (ROWS, L//128, 128) eight clips, row-major sample view
     d1ri_ref,  # (2*R1, R1)
     e_re_ref,  # (R1, 2*K2C, R2)
     e_im_ref,  # (R1, 2*K2C, R2)
-    win_ref,  # (1, N_FFT)
+    win_ref,  # (R1, R2) hann window in frame-tile shape
     melw_ref,  # (M_pad, R1*K2C)
     *rest,  # [stats_ref (M_pad, 2)] out_ref, frames_scr, row_scr
     hop: int,
@@ -202,11 +210,18 @@ def _featurizer_kernel(
     d1ri_op, e_re_op = d1ri_ref[:], e_re_ref[:]
     e_im_op, melw_op = e_im_ref[:], melw_ref[:]
 
+    idx2 = None
+    if norm_wave_len:
+        idx2 = (
+            R2 * jax.lax.broadcasted_iota(jnp.int32, (R1, R2), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (R1, R2), 1)
+        )
+
     def row_body(r, _):
-        # Aligned dynamic-sublane copy (lane offset 0, 128-multiple width):
-        # the ONLY dynamic slice in the kernel.  Framing below then slices
-        # the scratch at fully static offsets, as the backend requires.
-        row_scr[:, :] = raw_ref[pl.ds(r, 1), :]
+        # Aligned dynamic-sublane copy (lane offset 0, full rows): the ONLY
+        # dynamic slice in the kernel.  Framing below then slices the
+        # scratch at fully static offsets, as the backend requires.
+        row_scr[:, :] = raw_ref[pl.ds(r, 1), :, :][0]
         win = win0
         win_bias = None
         if norm_wave_len:
@@ -214,9 +229,14 @@ def _featurizer_kernel(
             # multiply as y*win = x*(scale*win) + (bias*win).  The zero pad
             # beyond the clip must stay zero in NORMALIZED space (tf pad_end
             # pads the normalized signal), handled by static masking below.
-            seg = row_scr[:, :norm_wave_len]
-            mn = jnp.min(seg)
-            rng_v = jnp.max(seg) - mn
+            nw_q, nw_o = divmod(norm_wave_len, R2)
+            mn = jnp.min(row_scr[:nw_q, :])
+            mx = jnp.max(row_scr[:nw_q, :])
+            if nw_o:
+                tail = row_scr[nw_q : nw_q + 1, :nw_o]
+                mn = jnp.minimum(mn, jnp.min(tail))
+                mx = jnp.maximum(mx, jnp.max(tail))
+            rng_v = mx - mn
             scale = 2.0 / rng_v
             bias_w = 2e-6 - 1.0 - 2.0 * mn / rng_v
             win_bias = win0 * bias_w
@@ -226,6 +246,11 @@ def _featurizer_kernel(
         for g in range(n_tiles):
             base = g * tile * hop
             # ---- framing + window: all offsets static ------------------
+            # Each frame t starting at sample 128q + o is assembled as a
+            # (32, 128) tile from the row-major clip view: rows [q, q+32)
+            # lanes [o, 128) then rows [q+1, q+33) lanes [0, o) — two
+            # full-sublane stores instead of one (1, 4096) single-sublane
+            # store (which measured 7.6 ms/batch, 64% of the mel kernel).
             # NOTE: scratch/operands stay f32 even at "default" precision —
             # explicit bf16 scratch + bf16 operators were measured 28.6 ms
             # vs 13.5 ms (Mosaic's implicit per-dot converts beat explicit
@@ -233,23 +258,39 @@ def _featurizer_kernel(
             # contracted-sublane-dim dots).  See docs/PERFORMANCE.md.
             for i in range(tile):
                 start = base + hop * i
-                row = row_scr[:, start : start + N_FFT] * win
-                if win_bias is not None:
-                    # static per-frame boundary: samples past the clip are
-                    # zero-padding of the NORMALIZED signal, so the affine
-                    # bias must not leak into them
-                    v = min(max(norm_wave_len - start, 0), N_FFT)
-                    if v == N_FFT:
-                        row = row + win_bias
-                    elif v > 0:
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, N_FFT), 1
+                q, o = divmod(start, R2)
+                if o == 0:
+                    frames_scr[i] = row_scr[q : q + R1, :] * win
+                else:
+                    frames_scr[i, :, : R2 - o] = (
+                        row_scr[q : q + R1, o:] * win[:, : R2 - o]
+                    )
+                    frames_scr[i, :, R2 - o :] = (
+                        row_scr[q + 1 : q + R1 + 1, :o] * win[:, R2 - o :]
+                    )
+            if win_bias is not None:
+                # bias addition for the normalize fold: the frames fully
+                # inside the clip are a static contiguous prefix — ONE bulk
+                # add; the few (static) boundary frames crossing
+                # norm_wave_len get an iota-masked bias; frames past the
+                # clip get none (they are zero-padding of the NORMALIZED
+                # signal).
+                t_full = min(
+                    max((norm_wave_len - N_FFT - base) // hop + 1, 0), tile
+                )
+                if t_full > 0:
+                    frames_scr[:t_full] = (
+                        frames_scr[:t_full] + win_bias[None, :, :]
+                    )
+                for i in range(t_full, tile):
+                    v = min(max(norm_wave_len - (base + hop * i), 0), N_FFT)
+                    if v > 0:
+                        frames_scr[i] = frames_scr[i] + jnp.where(
+                            idx2 < v, win_bias, 0.0
                         )
-                        row = row + jnp.where(lane < v, win_bias, 0.0)
-                frames_scr[i : i + 1, :] = row
 
             # ---- stage 1: contract n1; re/im stacked into M ------------
-            x2 = frames_scr[:].reshape(tile, R1, R2)  # (F, n1, n2)
+            x2 = frames_scr[:]  # (F, n1, n2) — the scratch's native shape
             a = _dot(
                 d1ri_op, x2, (((1,), (1,)), ((), ())), precision
             )  # (2*R1, F, n2)
@@ -344,6 +385,8 @@ def _fused_call(
     b_pad = -(-b // ROWS) * ROWS
     if b_pad != b:
         raw_padded = jnp.pad(raw_padded, ((0, b_pad - b), (0, 0)))
+    # free minor-dim split: the kernel frames from this row-major view
+    raw_padded = raw_padded.reshape(b_pad, length // 128, 128)
     m_pad = melw_pad.shape[0]
     consts = _dft_constants(hop)
     frontend = fe_stats is not None
@@ -365,16 +408,16 @@ def _fused_call(
     e_im = jnp.asarray(consts["e_im"])
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((ROWS, length), lambda bb: (bb, 0),
+        pl.BlockSpec((ROWS, length // 128, 128), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
         const_spec((2 * R1, R1)),
         const_spec((R1, 2 * K2C, R2)),
         const_spec((R1, 2 * K2C, R2)),
-        const_spec((1, N_FFT)),
+        const_spec((R1, R2)),
         const_spec((m_pad, R1 * K2C)),
     ]
     operands = [params, raw_padded, d1ri, e_re, e_im,
-                jnp.asarray(consts["win"]), melw_pad]
+                jnp.asarray(consts["win"].reshape(R1, R2)), melw_pad]
     if frontend:
         in_specs.append(const_spec((m_pad, 2)))
         operands.append(fe_stats)
@@ -386,8 +429,8 @@ def _fused_call(
                                lambda bb: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile, N_FFT), jnp.float32),
-            pltpu.VMEM((1, length), jnp.float32),
+            pltpu.VMEM((tile, R1, R2), jnp.float32),
+            pltpu.VMEM((length // 128, 128), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct(
             (b_pad, m_pad, frames_total), jnp.float32
@@ -476,7 +519,9 @@ class FusedFeaturizer:
         return TILE, -(-frames // TILE)
 
     def _padded(self, raw: jax.Array, tile: int, n_tiles: int) -> jax.Array:
-        need = (n_tiles * tile - 1) * self.hop + N_FFT
+        # +128: a frame starting at 128q + o (o > 0) reads its tail from
+        # row q+32 of the (L/128, 128) view — one row past the last sample.
+        need = (n_tiles * tile - 1) * self.hop + N_FFT + 128
         need = -(-need // 128) * 128
         pad = need - raw.shape[-1]
         if pad > 0:
