@@ -6,7 +6,11 @@ memory estimate."""
 from __future__ import annotations
 
 import contextlib
+import glob
+import gzip
+import json
 import logging
+import re
 import time
 from pathlib import Path
 
@@ -48,6 +52,65 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> dict:
         "p90_ms": float(np.percentile(arr, 90)),
         "iters": iters,
     }
+
+
+def device_event_summary(
+    trace_dir: str | Path, device_substr: str = "/device:TPU:0",
+) -> list[tuple[str, float]]:
+    """Aggregate device-event durations from a ``trace()`` capture.
+
+    Reads the newest ``*.trace.json.gz`` under ``trace_dir``, keeps events
+    whose pid maps (via ``process_name`` metadata) to a device matching
+    ``device_substr``, and returns ``(event_name, total_ms)`` sorted by
+    cost.  This is the measured per-fusion table behind every entry in
+    docs/PERFORMANCE.md — use it (not guesses) before perf work; pair with
+    ``fusion_layer_map`` to translate ``fusion.N`` names to model layers.
+    """
+    paths = sorted(
+        glob.glob(str(Path(trace_dir) / "plugins/profile/*/*.trace.json.gz"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f)["traceEvents"]
+    dev_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and device_substr in str(e.get("args", {}).get("name", ""))
+    }
+    agg: dict[str, float] = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            agg[e["name"]] = agg.get(e["name"], 0.0) + e.get("dur", 0.0)
+    return sorted(
+        ((name, dur / 1000.0) for name, dur in agg.items()),
+        key=lambda kv: -kv[1],
+    )
+
+
+_HLO_OP = re.compile(
+    r"%(\S+?) = \S+ (?:fusion|convolution|custom-call|dot)\("
+    r'[^\n]*?op_name="([^"]*)"'
+)
+
+
+def fusion_layer_map(fn, *args) -> dict[str, str]:
+    """Map compiled fusion/op names to model-layer ``op_name`` metadata.
+
+    Lowers and compiles ``fn(*args)`` and parses the optimized HLO: the op
+    metadata carries the Flax module path (e.g.
+    ``...  MobileNetV2_0/InvertedResidual_3/Conv_1/conv_general_dilated``),
+    which is how ``fusion.N`` rows from ``device_event_summary`` are
+    attributed to layers (see .claude/skills/verify/SKILL.md).
+    """
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    out: dict[str, str] = {}
+    for m in _HLO_OP.finditer(txt):
+        name, op = m.group(1), m.group(2)
+        out.setdefault(name, op)
+    return out
 
 
 def state_memory_bytes(state, batch_shape: tuple | None = None) -> dict:

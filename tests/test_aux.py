@@ -371,6 +371,34 @@ def test_time_fn_and_memory():
     assert mem["total_bytes"] >= mem["params_bytes"]
 
 
+def test_trace_summary_and_fusion_map(tmp_path):
+    """device_event_summary aggregates a real jax.profiler trace;
+    fusion_layer_map resolves compiled op names to layer metadata."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_training_tpu.utils.profiling import (
+        device_event_summary,
+        fusion_layer_map,
+        trace,
+    )
+
+    def fn(x):
+        return jnp.tanh(x @ x.T).sum()
+
+    x = jnp.ones((64, 64))
+    run = jax.jit(fn)
+    float(run(x))  # warm outside the trace
+    with trace(tmp_path):
+        float(run(x))
+    # forced-CPU platform: device events land under the TFRT CPU pid
+    rows = device_event_summary(tmp_path, device_substr="CPU")
+    assert rows and all(ms >= 0 for _, ms in rows)
+
+    lmap = fusion_layer_map(fn, x)
+    assert any("dot" in op or "tanh" in op for op in lmap.values())
+
+
 def test_check_pipeline():
     from audio_training_tpu.utils.debug import check_pipeline
 

@@ -129,6 +129,34 @@ def test_single_tile_arbitrary_hop(mel_w):
         assert rel < 1e-5, (hop, rel)
 
 
+@pytest.mark.slow
+def test_long_clip_multi_tile(cfg, mel_w):
+    """Clips over MAX_SINGLE_TILE frames fall back to 128-frame tiles;
+    exercises the tile loop and the PCEN EMA carry flowing across tiles
+    (decay-weighted last-column extraction, tfpcen.py:33-39 semantics)."""
+    rng = np.random.default_rng(5)
+    hop = 40  # many frames from little audio: 35k samples -> 875 frames
+    long_clip = jnp.asarray(
+        rng.standard_normal((1, 35_000)).astype(np.float32)
+    )
+    ref_mel = np.asarray(
+        MatmulMelPlan(mel_w, cfg.n_fft, hop, precision="highest")(long_clip)
+    )
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, hop, precision="highest")
+    tile, n_tiles = fz._tiling(ref_mel.shape[-1])
+    assert n_tiles > 1  # the path under test
+    out = np.asarray(fz(long_clip, pcen=False, interpret=True))
+    assert out.shape == ref_mel.shape
+    rel = np.abs(out - ref_mel).max() / np.abs(ref_mel).max()
+    assert rel < 1e-5
+
+    ref_pcen = np.asarray(
+        pcen_ref(jnp.asarray(ref_mel), time_axis=2)
+    )
+    got_pcen = np.asarray(fz(long_clip, pcen=True, interpret=True))
+    assert np.abs(got_pcen - ref_pcen).max() < 1e-4
+
+
 def test_batch_one_and_odd_batch(cfg, mel_w):
     """B=1 and odd batch sizes hit the same grid path."""
     rng = np.random.default_rng(21)
