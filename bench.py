@@ -51,6 +51,11 @@ import numpy as np
 
 TARGET = 50_000.0  # audio-seconds/sec/chip (BASELINE.json north star)
 BATCH = 256
+# The PCEN chain runs its serving sweet spot B=512 (measured: 37.7k vs
+# 34.9k at 256 — MobileNetV2's many small low-res fusions amortize;
+# B=1024 measured 36.8k, no further gain).  badwinner2 measured flat
+# 256 -> 512 (docs/PERFORMANCE.md), so chain 1 stays at 256.
+BATCH_PCEN = 512
 ITERS = 8
 
 
@@ -156,7 +161,12 @@ def main() -> None:
             img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
         return eff_spec.module.apply(eff_vars, img, train=False)
 
-    pcen_audio_s = _measure(scan_chain(full_pcen), raw, BATCH,
+    raw_pcen = jnp.asarray(
+        rng.standard_normal(
+            (BATCH_PCEN, cfg.samples_per_clip)
+        ).astype(np.float32)
+    )
+    pcen_audio_s = _measure(scan_chain(full_pcen), raw_pcen, BATCH_PCEN,
                             cfg.segment_length)
     print(json.dumps({
         "metric": f"audio-seconds/sec/chip (mel+PCEN+CNN infer; {backbone})",
