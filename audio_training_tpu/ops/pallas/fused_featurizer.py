@@ -175,6 +175,8 @@ def _featurizer_kernel(
     do_pcen: bool,
     norm_wave_len: int = 0,
     frontend: bool = False,
+    in_rows: int = 0,
+    scr_rows: int = 0,
 ):
     """norm_wave_len > 0 folds the per-clip waveform min-max normalize
     (ops.features.normalize_rows, tfdataset.py:1916-1934) into the framing
@@ -217,11 +219,19 @@ def _featurizer_kernel(
             + jax.lax.broadcasted_iota(jnp.int32, (R1, R2), 1)
         )
 
+    if scr_rows > in_rows:
+        # zero-fill the scratch rows past the clip ONCE per grid step: the
+        # last frames read them as tf pad_end zero padding (the row copy
+        # below never touches them)
+        row_scr[in_rows:, :] = jnp.zeros(
+            (scr_rows - in_rows, R2), jnp.float32
+        )
+
     def row_body(r, _):
         # Aligned dynamic-sublane copy (lane offset 0, full rows): the ONLY
         # dynamic slice in the kernel.  Framing below then slices the
         # scratch at fully static offsets, as the backend requires.
-        row_scr[:, :] = raw_ref[pl.ds(r, 1), :, :][0]
+        row_scr[:in_rows, :] = raw_ref[pl.ds(r, 1), :, :][0]
         win = win0
         win_bias = None
         if norm_wave_len:
@@ -365,7 +375,7 @@ def _featurizer_kernel(
                      "interpret", "norm_wave_len"),
 )
 def _fused_call(
-    raw_padded: jax.Array,  # (B, L) f32, L covers the last tile's reads
+    raw_padded: jax.Array,  # (B, L) f32, L a 128-multiple
     params: jax.Array,  # (8,) f32
     melw_pad: jax.Array,  # (M_pad, R1*K2C)
     hop: int,
@@ -387,6 +397,16 @@ def _fused_call(
         raw_padded = jnp.pad(raw_padded, ((0, b_pad - b), (0, 0)))
     # free minor-dim split: the kernel frames from this row-major view
     raw_padded = raw_padded.reshape(b_pad, length // 128, 128)
+    # The sample pad the last frames read past the clip is zero-filled
+    # IN-KERNEL (row scratch tail), not materialized: an XLA pad of the raw
+    # operand measured 0.9 ms/iter at B=512 plus a layout-copy it induced
+    # in the bench loop (docs/PERFORMANCE.md round 3b).
+    need = (n_tiles * tile - 1) * hop + N_FFT + 128
+    scr_rows = -(-need // 128)
+    in_rows = length // 128
+    if in_rows > scr_rows:
+        raw_padded = raw_padded[:, :scr_rows]
+        in_rows = scr_rows
     m_pad = melw_pad.shape[0]
     consts = _dft_constants(hop)
     frontend = fe_stats is not None
@@ -394,6 +414,7 @@ def _fused_call(
         _featurizer_kernel, hop=hop, tile=tile, n_tiles=n_tiles,
         precision=precision, do_pcen=do_pcen,
         norm_wave_len=norm_wave_len, frontend=frontend,
+        in_rows=in_rows, scr_rows=scr_rows,
     )
 
     def const_spec(shape):
@@ -408,7 +429,7 @@ def _fused_call(
     e_im = jnp.asarray(consts["e_im"])
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((ROWS, length // 128, 128), lambda bb: (bb, 0, 0),
+        pl.BlockSpec((ROWS, in_rows, 128), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
         const_spec((2 * R1, R1)),
         const_spec((R1, 2 * K2C, R2)),
@@ -430,7 +451,7 @@ def _fused_call(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile, R1, R2), jnp.float32),
-            pltpu.VMEM((length // 128, 128), jnp.float32),
+            pltpu.VMEM((scr_rows, 128), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct(
             (b_pad, m_pad, frames_total), jnp.float32
@@ -519,11 +540,11 @@ class FusedFeaturizer:
         return TILE, -(-frames // TILE)
 
     def _padded(self, raw: jax.Array, tile: int, n_tiles: int) -> jax.Array:
-        # +128: a frame starting at 128q + o (o > 0) reads its tail from
-        # row q+32 of the (L/128, 128) view — one row past the last sample.
-        need = (n_tiles * tile - 1) * self.hop + N_FFT + 128
-        need = -(-need // 128) * 128
-        pad = need - raw.shape[-1]
+        # Alignment-only pad (to a 128-sample row boundary): the sample pad
+        # the last frames read past the clip is zero-filled in-kernel (row
+        # scratch tail), so the production 144 000-sample clip — already a
+        # 128-multiple — pays NO pad op at all.
+        pad = -raw.shape[-1] % 128
         if pad > 0:
             raw = jnp.pad(raw, ((0, 0), (0, pad)))
         return raw

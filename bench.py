@@ -99,7 +99,11 @@ def main() -> None:
         @jax.jit
         def run(raw0):
             def step(carry, i):
-                r = carry + i.astype(jnp.float32) * 1e-6
+                # one-element bump: enough to defeat the relay's result
+                # cache and in-scan CSE (inputs differ per step) without
+                # timing a full-array add that real serving never pays
+                # (the old whole-batch bump measured 0.9 ms/iter at B=512)
+                r = carry.at[0, 0].add(i.astype(jnp.float32) * 1e-6)
                 return carry, full(r).sum()
             _, sums = jax.lax.scan(step, raw0, jnp.arange(ITERS))
             return sums.sum()
