@@ -557,6 +557,7 @@ class FusedFeaturizer:
         interpret: bool | None = None,
         normalize_waveform: bool = False,
         frontend_params: tuple | None = None,
+        step_salt: jax.Array | None = None,
     ) -> jax.Array:
         """(B, samples) -> (B, n_mels, frames) mel power or PCEN image.
 
@@ -565,7 +566,17 @@ class FusedFeaturizer:
         ``frontend_params = (a_power, bn_mean, bn_var)`` additionally
         applies badwinner2's MagTransform + per-mel-row BN to the mel
         output (badwinner2.py:230-233) so the entire pre-CNN chain runs in
-        ONE kernel (mutually exclusive with ``pcen``)."""
+        ONE kernel (mutually exclusive with ``pcen``).
+
+        ``step_salt`` (benchmark harnesses only) lands in the unused
+        params[7] SMEM slot: a per-step value makes the otherwise
+        loop-invariant kernel call opaque to XLA's loop-invariant code
+        motion / CSE and to result-caching relays, WITHOUT mutating the
+        audio batch — chaining iterations by bumping one element of a
+        scan-carried raw batch made XLA pick a batch-minor layout for the
+        carry and pay ~2 ms/iter relaying 288 MB back to row-major at
+        B=512 (copy.7/copy.11/copy.13 in the device profile), a cost real
+        serving never sees because fresh batches arrive row-major."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         if frontend_params is not None and pcen:
@@ -579,6 +590,11 @@ class FusedFeaturizer:
                 "pipeline's tf-stft convention, not the centered one"
             )
         norm_wave_len = raw.shape[-1] if normalize_waveform else 0
+        params_base = self.params
+        if step_salt is not None:
+            params_base = params_base.at[7].set(
+                jnp.asarray(step_salt, jnp.float32).reshape(())
+            )
         if self.center:
             frames = num_frames_centered(raw.shape[-1], self.hop)
             half = N_FFT // 2
@@ -586,7 +602,7 @@ class FusedFeaturizer:
         else:
             frames = num_frames_tf(raw.shape[-1], self.hop)
         tile, n_tiles = self._tiling(frames)
-        params = self.params
+        params = params_base
         fe_stats = None
         if frontend_params is not None:
             a_power, bn_mean, bn_var = frontend_params

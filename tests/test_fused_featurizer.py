@@ -209,3 +209,13 @@ def test_frontend_pcen_mutually_exclusive(cfg, mel_w, raw):
         fz(raw, pcen=True,
            frontend_params=(jnp.zeros(1), jnp.zeros(cfg.n_mels),
                             jnp.ones(cfg.n_mels)))
+
+
+def test_step_salt_does_not_change_output(cfg, mel_w, raw):
+    """step_salt occupies the unused params[7] SMEM slot: it must defeat
+    XLA CSE/caching in chained benchmarks WITHOUT perturbing the math."""
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    base = np.asarray(fz(raw, pcen=True))
+    salted = np.asarray(fz(raw, pcen=True, step_salt=jnp.float32(3.25)))
+    np.testing.assert_array_equal(base, salted)
