@@ -375,7 +375,12 @@ def _featurizer_kernel(
                      "interpret", "norm_wave_len"),
 )
 def _fused_call(
-    raw_padded: jax.Array,  # (B, L) f32, L a 128-multiple
+    raw_padded: jax.Array,  # (B, L) f32, L a 128-multiple — or the
+    # pre-reshaped row-major clip view (B, L//128, 128): serving loops
+    # should feed the 3D view so the minor-dim split is done once on the
+    # host side; inside a scan XLA does NOT hoist the loop-invariant
+    # reshape and pays a ~0.9 ms/iter materializing copy at B=512
+    # (copy.11 in the device profile, docs/PERFORMANCE.md)
     params: jax.Array,  # (8,) f32
     melw_pad: jax.Array,  # (M_pad, R1*K2C)
     hop: int,
@@ -387,16 +392,25 @@ def _fused_call(
     norm_wave_len: int = 0,
     fe_stats: jax.Array | None = None,  # (M_pad, 2) badwinner2 BN affine
 ) -> jax.Array:
-    b, length = raw_padded.shape
+    if raw_padded.ndim == 2:
+        b, length = raw_padded.shape
+    else:
+        b, rows_in, lanes = raw_padded.shape
+        if lanes != 128:
+            raise ValueError("row view must be (B, L//128, 128)")
+        length = rows_in * 128
     # Pad the batch to the 8-clip row block (keeps the operand T(8,128));
     # dead rows are computed and sliced off — the featurizer is ~40 us/clip,
     # so a short final block costs less than the relayout the (1, 1, L)
     # single-clip block forced (docs/PERFORMANCE.md round 3).
     b_pad = -(-b // ROWS) * ROWS
     if b_pad != b:
-        raw_padded = jnp.pad(raw_padded, ((0, b_pad - b), (0, 0)))
-    # free minor-dim split: the kernel frames from this row-major view
-    raw_padded = raw_padded.reshape(b_pad, length // 128, 128)
+        raw_padded = jnp.pad(
+            raw_padded, ((0, b_pad - b),) + ((0, 0),) * (raw_padded.ndim - 1)
+        )
+    if raw_padded.ndim == 2:
+        # free minor-dim split: the kernel frames from this row-major view
+        raw_padded = raw_padded.reshape(b_pad, length // 128, 128)
     # The sample pad the last frames read past the clip is zero-filled
     # IN-KERNEL (row scratch tail), not materialized: an XLA pad of the raw
     # operand measured 0.9 ms/iter at B=512 plus a layout-copy it induced
@@ -561,6 +575,13 @@ class FusedFeaturizer:
     ) -> jax.Array:
         """(B, samples) -> (B, n_mels, frames) mel power or PCEN image.
 
+        ``raw`` may also be the pre-reshaped row-major clip view
+        ``(B, samples//128, 128)`` (samples a 128-multiple, non-centered
+        convention only) — identical output; serving loops should feed
+        this view so the minor-dim split happens once outside any scan
+        (XLA does not hoist the loop-invariant reshape: ~0.9 ms/iter of
+        copy at B=512, docs/PERFORMANCE.md).
+
         ``normalize_waveform`` folds the per-clip min-max normalize
         (ops.features.normalize_rows) into the kernel's framing affine.
         ``frontend_params = (a_power, bn_mean, bn_var)`` additionally
@@ -579,6 +600,17 @@ class FusedFeaturizer:
         serving never sees because fresh batches arrive row-major."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if raw.ndim == 3:
+            if self.center:
+                raise ValueError(
+                    "the (B, L//128, 128) row view implements the tf-stft "
+                    "convention; pass (B, samples) for center=True"
+                )
+            if raw.shape[-1] != 128:
+                raise ValueError("row view must be (B, samples//128, 128)")
+            samples = raw.shape[1] * 128
+        else:
+            samples = raw.shape[-1]
         if frontend_params is not None and pcen:
             raise ValueError(
                 "frontend_params is the badwinner2 frontend; PCEN fronts "
@@ -589,18 +621,18 @@ class FusedFeaturizer:
                 "normalize_waveform/frontend_params implement the training "
                 "pipeline's tf-stft convention, not the centered one"
             )
-        norm_wave_len = raw.shape[-1] if normalize_waveform else 0
+        norm_wave_len = samples if normalize_waveform else 0
         params_base = self.params
         if step_salt is not None:
             params_base = params_base.at[7].set(
                 jnp.asarray(step_salt, jnp.float32).reshape(())
             )
         if self.center:
-            frames = num_frames_centered(raw.shape[-1], self.hop)
+            frames = num_frames_centered(samples, self.hop)
             half = N_FFT // 2
             raw = jnp.pad(raw, ((0, 0), (half, half)))
         else:
-            frames = num_frames_tf(raw.shape[-1], self.hop)
+            frames = num_frames_tf(samples, self.hop)
         tile, n_tiles = self._tiling(frames)
         params = params_base
         fe_stats = None

@@ -177,10 +177,15 @@ def main() -> None:
             img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
         return eff_spec.module.apply(eff_vars, img, train=False)
 
+    # Row-major clip view (B, L//128, 128): the serving fast path — the
+    # minor-dim split happens once on the host instead of per scan step
+    # (XLA does not hoist the loop-invariant reshape: 0.88 ms/iter of
+    # copy.11 at B=512).  Bit-identical output (test_row_view_input_
+    # matches_2d); measured 42.0k -> 43.1k audio-s/s.
     raw_pcen = jnp.asarray(
         rng.standard_normal(
             (BATCH_PCEN, cfg.samples_per_clip)
-        ).astype(np.float32)
+        ).astype(np.float32).reshape(BATCH_PCEN, -1, 128)
     )
 
     def scan_chain_salt(full):

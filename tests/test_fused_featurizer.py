@@ -211,6 +211,32 @@ def test_frontend_pcen_mutually_exclusive(cfg, mel_w, raw):
                             jnp.ones(cfg.n_mels)))
 
 
+def test_row_view_input_matches_2d(cfg, mel_w, raw):
+    """The pre-reshaped (B, L//128, 128) row-major clip view — the serving
+    fast path that avoids the in-scan reshape copy — is bit-identical to
+    the (B, samples) input."""
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    raw3 = jnp.reshape(raw, (raw.shape[0], -1, 128))
+    np.testing.assert_array_equal(
+        np.asarray(fz(raw, pcen=True)), np.asarray(fz(raw3, pcen=True))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fz(raw, pcen=False)), np.asarray(fz(raw3, pcen=False))
+    )
+    # the normalize_waveform fold sees the same sample count either way
+    np.testing.assert_array_equal(
+        np.asarray(fz(raw, pcen=False, normalize_waveform=True)),
+        np.asarray(fz(raw3, pcen=False, normalize_waveform=True)),
+    )
+    with pytest.raises(ValueError, match="row view"):
+        fz(jnp.zeros((2, 100, 64)), pcen=False)
+    fzc = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                          precision="highest", center=True)
+    with pytest.raises(ValueError, match="row view|center"):
+        fzc(raw3, pcen=False)
+
+
 def test_step_salt_does_not_change_output(cfg, mel_w, raw):
     """step_salt occupies the unused params[7] SMEM slot: it must defeat
     XLA CSE/caching in chained benchmarks WITHOUT perturbing the math."""
