@@ -177,6 +177,7 @@ def _featurizer_kernel(
     frontend: bool = False,
     in_rows: int = 0,
     scr_rows: int = 0,
+    out_dtype: jnp.dtype = jnp.float32,
 ):
     """norm_wave_len > 0 folds the per-clip waveform min-max normalize
     (ops.features.normalize_rows, tfdataset.py:1916-1934) into the framing
@@ -336,7 +337,7 @@ def _featurizer_kernel(
                     mel = jnp.exp(gpow * jnp.log(jnp.maximum(mel, 1e-30)))
                     mel = mel * stats_ref[:, 0:1] + stats_ref[:, 1:2]
                 out_ref[pl.ds(r, 1), :, g * tile : (g + 1) * tile] = (
-                    mel[None]
+                    mel[None].astype(out_dtype)
                 )
                 continue
 
@@ -363,7 +364,7 @@ def _featurizer_kernel(
             out_ref[pl.ds(r, 1), :, g * tile : (g + 1) * tile] = (
                 jnp.exp(one_over_root * jnp.log(mel / smooth_pow + bias))
                 - log_bias_root
-            )[None]
+            )[None].astype(out_dtype)
         return 0
 
     jax.lax.fori_loop(0, ROWS, row_body, 0)
@@ -372,7 +373,7 @@ def _featurizer_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("hop", "tile", "n_tiles", "precision", "do_pcen",
-                     "interpret", "norm_wave_len"),
+                     "interpret", "norm_wave_len", "out_dtype"),
 )
 def _fused_call(
     raw_padded: jax.Array,  # (B, L) f32, L a 128-multiple — or the
@@ -391,6 +392,7 @@ def _fused_call(
     interpret: bool,
     norm_wave_len: int = 0,
     fe_stats: jax.Array | None = None,  # (M_pad, 2) badwinner2 BN affine
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     if raw_padded.ndim == 2:
         b, length = raw_padded.shape
@@ -428,7 +430,7 @@ def _fused_call(
         _featurizer_kernel, hop=hop, tile=tile, n_tiles=n_tiles,
         precision=precision, do_pcen=do_pcen,
         norm_wave_len=norm_wave_len, frontend=frontend,
-        in_rows=in_rows, scr_rows=scr_rows,
+        in_rows=in_rows, scr_rows=scr_rows, out_dtype=out_dtype,
     )
 
     def const_spec(shape):
@@ -468,7 +470,7 @@ def _fused_call(
             pltpu.VMEM((scr_rows, 128), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct(
-            (b_pad, m_pad, frames_total), jnp.float32
+            (b_pad, m_pad, frames_total), out_dtype
         ),
         compiler_params=pltpu.CompilerParams(
             # Clips are independent (the PCEN carry only flows across tiles
@@ -482,7 +484,8 @@ def _fused_call(
         cost_estimate=pl.CostEstimate(
             flops=int(2 * mac * b_pad * n_tiles),
             bytes_accessed=int(
-                b_pad * length * 4 + b_pad * m_pad * frames_total * 4
+                b_pad * length * 4
+                + b_pad * m_pad * frames_total * np.dtype(out_dtype).itemsize
             ),
             transcendentals=int(b_pad * n_tiles * m_pad * tile * 4),
         ),
@@ -572,6 +575,7 @@ class FusedFeaturizer:
         normalize_waveform: bool = False,
         frontend_params: tuple | None = None,
         step_salt: jax.Array | None = None,
+        out_dtype: jnp.dtype = jnp.float32,
     ) -> jax.Array:
         """(B, samples) -> (B, n_mels, frames) mel power or PCEN image.
 
@@ -588,6 +592,14 @@ class FusedFeaturizer:
         applies badwinner2's MagTransform + per-mel-row BN to the mel
         output (badwinner2.py:230-233) so the entire pre-CNN chain runs in
         ONE kernel (mutually exclusive with ``pcen``).
+
+        ``out_dtype`` selects the output element type; ``jnp.bfloat16``
+        halves the image write (and the consuming CNN's read) and removes
+        the XLA-side f32->bf16 convert pass when the consumer is a bf16
+        CNN.  The kernel computes in f32 throughout and converts only at
+        the output store, so ``fz(x, out_dtype=bf16)`` is bitwise
+        ``fz(x).astype(bf16)`` for ``normalize=False`` paths (the PCEN
+        global min-max then runs in bf16 on the bf16 output).
 
         ``step_salt`` (benchmark harnesses only) lands in the unused
         params[7] SMEM slot: a per-step value makes the otherwise
@@ -648,6 +660,7 @@ class FusedFeaturizer:
             self._padded(raw, tile, n_tiles), params, self.melw_pad,
             self.hop, tile, n_tiles, self.precision, pcen, interpret,
             norm_wave_len=norm_wave_len, fe_stats=fe_stats,
+            out_dtype=np.dtype(out_dtype),
         )[:, : self.n_mels, :frames]
         if pcen and normalize:
             max_v = jnp.max(out)

@@ -129,7 +129,12 @@ def main() -> None:
                                  train=False)
 
     def full_bw(r):
-        img = fz(normalize_rows(r), pcen=False)[..., None]
+        # bf16 image out: the CNN is bf16 — emitting bf16 from the kernel
+        # halves the image write + the stem's read and removes the XLA
+        # f32->bf16 convert pass (bitwise = .astype(bf16) of the f32 out,
+        # test_out_dtype_bf16_matches_cast).
+        img = fz(normalize_rows(r), pcen=False,
+                 out_dtype=jnp.bfloat16)[..., None]
         return spec.module.apply(variables, img, train=False)
 
     bw_audio_s = _measure(scan_chain(full_bw), raw, BATCH,
@@ -172,7 +177,8 @@ def main() -> None:
         # batch-minor carry layout and pay ~2 ms/iter relaying 288 MB back
         # to row-major (copy.7/11/13 in the device profile) — a cost real
         # serving never pays, since fresh batches arrive row-major.
-        img = fz(r, pcen=True, step_salt=salt)[..., None]
+        img = fz(r, pcen=True, step_salt=salt,
+                 out_dtype=jnp.bfloat16)[..., None]
         if not folded:
             img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
         return eff_spec.module.apply(eff_vars, img, train=False)

@@ -237,6 +237,28 @@ def test_row_view_input_matches_2d(cfg, mel_w, raw):
         fzc(raw3, pcen=False)
 
 
+def test_out_dtype_bf16_matches_cast(cfg, mel_w, raw):
+    """out_dtype=bfloat16 (the serving fast path that halves the image
+    write + the CNN's read) converts only at the output store: bitwise
+    identical to casting the f32 output."""
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length,
+                         precision="highest")
+    for pcen in (False, True):
+        f32 = fz(raw, pcen=pcen, normalize=False)
+        b16 = fz(raw, pcen=pcen, normalize=False, out_dtype=jnp.bfloat16)
+        assert b16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(f32.astype(jnp.bfloat16).astype(jnp.float32)),
+            np.asarray(b16.astype(jnp.float32)),
+        )
+    # normalized PCEN: min-max runs on the bf16 output — same numeric
+    # class as the bf16 CNN consuming it, result still in [-1, 1]
+    out = fz(raw, pcen=True, out_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    arr = np.asarray(out.astype(jnp.float32))
+    assert arr.min() >= -1.0 - 1e-2 and arr.max() <= 1.0 + 1e-2
+
+
 def test_step_salt_does_not_change_output(cfg, mel_w, raw):
     """step_salt occupies the unused params[7] SMEM slot: it must defeat
     XLA CSE/caching in chained benchmarks WITHOUT perturbing the math."""
