@@ -56,12 +56,12 @@ BATCH = 256
 # B=1024 measured 36.8k, no further gain).  badwinner2 measured flat
 # 256 -> 512 (docs/PERFORMANCE.md), so chain 1 stays at 256.
 BATCH_PCEN = 512
-# 32 iterations inside the one jit: at ITERS=8 the wall was ~39.6 ms/iter
+# 64 iterations inside the one jit: at ITERS=8 the wall was ~39.6 ms/iter
 # against 35.6 ms of device time — ~4 ms/iter of fixed relay dispatch cost
 # that a longer chain amortizes (honest for a throughput metric: serving
-# runs continuously).  Measured B=512: ITERS=8 39.1k, ITERS=32 42.0k
-# audio-s/s; B=1024 was no better (38.3k/39.2k at 8/16).
-ITERS = 32
+# runs continuously).  Measured B=512: ITERS=8 39.1k, ITERS=32 42.0k,
+# ITERS=64 44.4k audio-s/s; B=1024 was no better (38.3k/39.2k at 8/16).
+ITERS = int(os.environ.get("BENCH_ITERS", "64"))
 
 
 def _measure(run, raw, batch, seconds_per_clip):
