@@ -7,6 +7,7 @@ glorot-uniform kernels and zero bias, LeakyReLU slope is explicit.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Sequence
 
 import jax
@@ -26,6 +27,95 @@ orthogonal = nn.initializers.orthogonal()
 
 def leaky_relu(x: jax.Array, alpha: float = 0.01) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=alpha)
+
+
+def _valid_conv(x, w, precision):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _condense_conv(precision, x, w):
+    """VALID NHWC/HWIO conv whose BACKWARD computes the data gradient as
+    oh-unfolded MXU dots instead of XLA's transposed conv.
+
+    Why: inside the real train graph, XLA's dgrad emitter for badwinner2's
+    tall-kernel "big condense" (44x3 over a 48-row input -> 5 output rows)
+    picks a catastrophic window config — measured 22.4 ms/step at B=128
+    (~20 TFLOP/s) against 6.7 ms for the SAME fwd+dx+dw in isolation
+    (probe method in docs/PERFORMANCE.md round 3c).  With only OH output
+    rows, dx contracts (oh, co) against an oh-unfolded weight
+    ``wu[oh, ih, kw, ci, co] = w[ih-oh, kw, ci, co]`` — KW dots with
+    K = OH*CO, plus KW shifted pads along the time axis.  Same math
+    reassociated (dw is bitwise identical — it keeps the standard wgrad
+    conv; dx differs at bf16 reassociation tolerance, ~4e-3 relative).
+    The forward is the plain conv, unchanged — inference graphs and logit
+    parity are untouched.
+    """
+    return _valid_conv(x, w, precision)
+
+
+def _condense_fwd(precision, x, w):
+    return _valid_conv(x, w, precision), (x, w)
+
+
+def _condense_bwd(precision, res, g):
+    x, w = res
+    kh, kw_sz, ci, co = w.shape
+    b, ih, iw, _ = x.shape
+    oh, ow = ih - kh + 1, iw - kw_sz + 1
+    # dw: the standard wgrad conv (measured fine in-graph)
+    _, vjp_w = jax.vjp(lambda w_: _valid_conv(x, w_, precision), w)
+    (dw,) = vjp_w(g)
+    # dx: oh-unfolded dots
+    wu = jnp.stack(
+        [jnp.pad(w, ((o, ih - kh - o), (0, 0), (0, 0), (0, 0)))
+         for o in range(oh)]
+    )  # (OH, IH, KW, CI, CO)
+    dx = jnp.zeros((b, ih, iw, ci), g.dtype)
+    for k in range(kw_sz):
+        # contract (oh, co): g (B, OH, OW, CO) . wu_k (OH, IH, CI, CO)
+        part = jax.lax.dot_general(
+            g, wu[:, :, k], (((1, 3), (0, 3)), ((), ())),
+            precision=precision,
+        )  # (B, OW, IH, CI)
+        part = jnp.transpose(part, (0, 2, 1, 3))
+        dx = dx + jnp.pad(part, ((0, 0), (0, 0), (k, iw - ow - k), (0, 0)))
+    return dx, dw
+
+
+_condense_conv.defvjp(_condense_fwd, _condense_bwd)
+
+
+class DotBwdConv(nn.Module):
+    """nn.Conv-compatible VALID stride-1 conv using :func:`_condense_conv`.
+    Parameter names/shapes match ``nn.Conv`` (kernel HWIO + bias) so the
+    surrounding :class:`Conv` wrapper can swap it in (named "Conv_0")
+    without changing checkpoints, transplants, or parity tests."""
+
+    features: int
+    kernel_size: tuple
+    kernel_init: Callable = glorot
+    dtype: Any = None
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        return _condense_conv(self.precision, x, kernel) + bias
 
 
 class KerasBatchNorm(nn.Module):
@@ -138,12 +228,28 @@ class Conv(nn.Module):
     padding: str = "VALID"
     kernel_init: Callable = glorot
     dtype: Any = None
+    # dx_dots: custom dots-based data gradient for tall-kernel condense
+    # convs (see _condense_conv) — VALID stride-1 only, forward unchanged
+    dx_dots: bool = False
 
     @nn.compact
     def __call__(self, x):
         precision = (
             jax.lax.Precision.HIGHEST if self.dtype is None else None
         )
+        if self.dx_dots:
+            if tuple(self.strides) != (1, 1) or self.padding != "VALID":
+                raise ValueError("dx_dots requires VALID stride-1 convs")
+            # named "Conv_0" so the param tree is identical to the nn.Conv
+            # path (checkpoints / transplant / parity oracles unchanged)
+            return DotBwdConv(
+                features=self.features,
+                kernel_size=tuple(self.kernel),
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                precision=precision,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=tuple(self.kernel),

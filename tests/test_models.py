@@ -76,6 +76,48 @@ def test_badwinner2_160mel_condense_shape():
     assert out.shape == (1, 2)
 
 
+def test_condense_dx_dots_grad_matches_autodiff():
+    """The dots-based data gradient of the big-condense conv
+    (layers._condense_conv; 22.4 -> ~4 ms/step at B=128 on TPU, see
+    docs/PERFORMANCE.md round 3c) is the same math reassociated: dw is
+    bitwise the standard wgrad, dx matches autodiff to f32 tolerance."""
+    from audio_training_tpu.models.layers import _condense_conv, _valid_conv
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 3, 3, 4)) * 0.1, jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def f_custom(x_, w_):
+        return (_condense_conv(hp, x_, w_) ** 2).sum()
+
+    def f_ref(x_, w_):
+        return (_valid_conv(x_, w_, hp) ** 2).sum()
+
+    # identical forward
+    np.testing.assert_array_equal(
+        np.asarray(_condense_conv(hp, x, w)),
+        np.asarray(_valid_conv(x, w, hp)),
+    )
+    gc = jax.grad(f_custom, argnums=(0, 1))(x, w)
+    gr = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(gc[1]), np.asarray(gr[1]))
+
+
+def test_badwinner2_param_tree_has_condense_conv0():
+    """dx_dots swaps the inner conv module but must keep the nn.Conv param
+    paths (Conv_4/Conv_0/{kernel,bias}) so checkpoints/transplant/parity
+    pairing are unchanged."""
+    x = jnp.zeros((1, 160, 513, 1), jnp.float32)
+    spec = build_model("badwinner2", num_labels=2)
+    v = spec.module.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    p = v["params"]["Conv_4"]["Conv_0"]
+    assert p["kernel"].shape == (44, 3, 128, 128)
+    assert p["bias"].shape == (128,)
+
+
 def test_badwinner2_lme():
     x = jnp.asarray(np.random.default_rng(2).random(SMALL), jnp.float32)
     spec = build_model("badwinner2", num_labels=4, lme=True)
