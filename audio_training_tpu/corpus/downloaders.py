@@ -33,9 +33,10 @@ def download_xeno_canto(
     """Download xeno-canto recordings + sidecar metadata
     (xenodownloader.py:8-92).  Sidecars carry the weak label and xeno
     quality/location fields."""
-    import requests
+    if session is None:
+        import requests
 
-    session = session or requests.Session()
+        session = requests.Session()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     page = 1
@@ -86,9 +87,10 @@ def download_ebird_species_lists(
 ) -> dict:
     """Per-region species lists from the eBird API (ebirdspecies.py:6-69),
     written in the format ebirdgrid consumes."""
-    import requests
+    if session is None:
+        import requests
 
-    session = session or requests.Session()
+        session = requests.Session()
     regions = regions or NZ_REGIONS
     out = []
     for code in regions:

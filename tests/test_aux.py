@@ -638,3 +638,138 @@ def test_streams_shuffle_and_determinism(tmp_path):
     assert sorted(a[:12]) == sorted(a[12:24])  # ... but same items
     c = order(EmbeddingStream(shards, space, seed=9, loop=True), 12)
     assert c != a[:12]  # different seed -> different order
+
+
+class _FakeResp:
+    def __init__(self, payload=None, content=b""):
+        self._payload = payload
+        self.content = content
+        self.ok = True
+
+    def json(self):
+        return self._payload
+
+    def raise_for_status(self):
+        pass
+
+
+class _FakeSession:
+    """Minimal requests.Session stand-in: routes by URL prefix."""
+
+    def __init__(self, routes):
+        self.routes = routes  # [(prefix, response-or-callable)]
+        self.calls = []
+
+    def get(self, url, params=None, headers=None, timeout=None):
+        self.calls.append((url, params, headers))
+        for prefix, resp in self.routes:
+            if url.startswith(prefix):
+                return resp(url, params) if callable(resp) else resp
+        raise AssertionError(f"unrouted URL {url}")
+
+
+def test_download_xeno_canto(tmp_path):
+    """Sidecar/download contract of xenodownloader.py:8-92: audio file +
+    .txt JSON with weak label, scientific name, quality and location;
+    file-less API entries skipped; pagination followed; max cutoff."""
+    from audio_training_tpu.corpus.downloaders import (
+        XENO_API,
+        download_xeno_canto,
+    )
+
+    def rec(i, with_file=True):
+        r = {
+            "id": str(i), "en": "Morepork", "gen": "Ninox",
+            "sp": "novaeseelandiae", "q": "A", "length": "0:12",
+            "lat": "-36.1", "lng": "174.2", "file-name": f"{i}.mp3",
+        }
+        if with_file:
+            r["file"] = f"https://dl.test/{i}.mp3"
+        return r
+
+    def api(url, params):
+        page = params["page"]
+        assert params["query"] == "morepork"
+        if page == 1:
+            return _FakeResp({"numPages": 2,
+                              "recordings": [rec(11), rec(12, False)]})
+        return _FakeResp({"numPages": 2, "recordings": [rec(13)]})
+
+    session = _FakeSession([
+        (XENO_API, api),
+        ("https://dl.test/", _FakeResp(content=b"MP3DATA")),
+    ])
+    n = download_xeno_canto("morepork", tmp_path, max_recordings=5,
+                            session=session)
+    assert n == 2  # the file-less entry is skipped
+    assert (tmp_path / "xc11.mp3").read_bytes() == b"MP3DATA"
+    meta = json.loads((tmp_path / "xc11.txt").read_text())
+    assert meta["label"] == "Morepork"
+    assert meta["scientific"] == "Ninox novaeseelandiae"
+    assert meta["quality"] == "A"
+    assert meta["location"] == {"lat": "-36.1", "lng": "174.2"}
+    assert meta["Tracks"] == []
+    assert (tmp_path / "xc13.mp3").exists()  # page 2 followed
+
+    # cutoff honored and existing files not re-downloaded
+    session2 = _FakeSession([(XENO_API, api),
+                             ("https://dl.test/", _FakeResp(content=b"X"))])
+    assert download_xeno_canto("morepork", tmp_path, max_recordings=1,
+                               session=session2) == 1
+    assert (tmp_path / "xc11.mp3").read_bytes() == b"MP3DATA"  # kept
+
+
+def test_download_ebird_species_lists(tmp_path):
+    """ebird_species.json format (ebirdspecies.py:6-69): list of
+    {code, bounds, species} entries, API token in headers."""
+    from audio_training_tpu.corpus.downloaders import (
+        download_ebird_species_lists,
+    )
+
+    def api(url, params):
+        if "/product/spplist/" in url:
+            return _FakeResp(["kiwi1", "morepo2"])
+        return _FakeResp(
+            {"bounds": {"minX": 166.0, "minY": -47.5,
+                        "maxX": 179.0, "maxY": -34.0}}
+        )
+
+    session = _FakeSession([("https://api.ebird.org/v2", api)])
+    out_file = tmp_path / "ebird_species.json"
+    out = download_ebird_species_lists(
+        "TESTKEY", out_file, regions=["NZ-AUK"], session=session
+    )
+    assert all(h["X-eBirdApiToken"] == "TESTKEY"
+               for _, _, h in session.calls)
+    data = json.loads(out_file.read_text())
+    assert data == out["regions"]
+    assert data[0]["code"] == "NZ-AUK"
+    assert data[0]["bounds"] == [166.0, -47.5, 179.0, -34.0]
+    assert data[0]["species"] == ["kiwi1", "morepo2"]
+
+
+def test_plot_mel_and_signals(tmp_path):
+    """Agg-backend plot helpers (plot_utils.py:23,116) write non-empty
+    PNGs with signal rectangles placed from Signal time/freq bounds."""
+    from audio_training_tpu.detect.signals import Signal
+    from audio_training_tpu.eval.plots import (
+        plot_mel,
+        plot_mel_signals,
+        plot_waveform,
+    )
+
+    rng = np.random.default_rng(0)
+    mel = rng.random((20, 50)).astype(np.float32)
+    p1 = tmp_path / "mel.png"
+    plot_mel(mel, p1, title="t")
+    assert p1.stat().st_size > 0
+
+    sigs = [Signal(0.5, 1.2, 1000.0, 4000.0)]
+    p2 = tmp_path / "sig.png"
+    fig = plot_mel_signals(mel, sigs, path=p2)
+    assert p2.stat().st_size > 0
+    assert len(fig.axes[0].patches) == 1
+
+    p3 = tmp_path / "wave.png"
+    plot_waveform(rng.standard_normal(480).astype(np.float32), 480, p3)
+    assert p3.stat().st_size > 0
