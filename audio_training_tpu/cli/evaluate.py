@@ -21,6 +21,9 @@ def parse_args(argv=None):
     weak.add_argument("dir", help="Directory of <label>/<audio> files")
     weak.add_argument("-w", "--weights", default="val-loss")
     weak.add_argument("--threshold", type=float, default=0.7)
+    weak.add_argument("--workers", type=int, default=8,
+                      help="Preprocessing processes (reference Pool size, "
+                           "evaluate.py:81)")
     weak.add_argument("--out", default="./confusions/weak")
 
     strong = sub.add_parser(
@@ -75,7 +78,7 @@ def main(argv=None) -> int:
         predictor, _ = load_predictor(Path(args.model), args.weights)
         result = evaluate_weakly_labelled_dir(
             predictor, args.dir, out_prefix=args.out,
-            threshold=args.threshold,
+            threshold=args.threshold, workers=args.workers,
         )
         correct = int(np.trace(result.mean_cm))
         total = int(result.mean_cm.sum())

@@ -51,6 +51,8 @@ def parse_args(argv=None):
     parser.add_argument("--folder-eval", default=None,
                         help="Score best_track-annotated recordings under "
                              "this dir (predict.predict_on_folder parity)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="Preprocessing processes for --folder-eval")
     parser.add_argument("--test-split", default=None,
                         help="Pinned split JSON: evaluate the held-out test "
                              "recordings (predict.predict_on_test parity); "
@@ -205,7 +207,8 @@ def main(argv=None) -> int:
         from audio_training_tpu.infer.folder import predict_on_folder
 
         result = predict_on_folder(predictor, args.folder_eval,
-                                   threshold=threshold)
+                                   threshold=threshold,
+                                   workers=args.workers)
         if args.json_out:
             Path(args.json_out).write_text(json.dumps(
                 {"accuracy": result.accuracy,

@@ -55,6 +55,13 @@ def download_xeno_canto(
                 continue
             suffix = Path(rec.get("file-name", "a.mp3")).suffix or ".mp3"
             audio_path = out_dir / f"{rec_id}{suffix}"
+            # Intentional divergence from xenodownloader.py:83-90: existing
+            # files COUNT toward max_recordings and their sidecars are
+            # refreshed from the current API response (the reference counts
+            # only fresh downloads toward --limit and never rewrites a
+            # sidecar).  Rationale: max_recordings here bounds the corpus
+            # size, not network traffic, so reruns are idempotent instead of
+            # growing the set; rewriting keeps sidecar metadata current.
             if not audio_path.exists():
                 r = session.get(audio_url, timeout=300)
                 r.raise_for_status()

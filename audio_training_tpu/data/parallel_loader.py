@@ -80,7 +80,12 @@ class ParallelLoader:
         self.num_workers = max(1, min(num_workers, len(shards)))
         self.mix = mix
         self.sharding = sharding
-        ctx = mp.get_context("fork")
+        # spawn, not fork: the parent has live JAX threads by the time the
+        # loader starts (os.fork() from a multithreaded process is a latent
+        # deadlock and JAX warns on it).  Workers re-import the package and
+        # never touch a device, so the only cost is ~1 s of startup per
+        # worker, paid once per fit.
+        ctx = mp.get_context("spawn")
         self.queue: mp.Queue = ctx.Queue(maxsize=queue_depth * self.num_workers)
         space_dict = label_space.to_dict()
         self.procs = []

@@ -14,12 +14,15 @@ from pathlib import Path
 
 import numpy as np
 
-from audio_training_tpu.corpus.audioio import load_recording
 from audio_training_tpu.eval.confusion import (
     confusion_matrix,
     save_confusion,
 )
-from audio_training_tpu.infer.predictor import Predictor
+from audio_training_tpu.eval.prep import (
+    DEFAULT_EVAL_WORKERS,
+    preprocessed_eval_stream,
+)
+from audio_training_tpu.infer.predictor import Predictor, aggregate_tracks
 
 log = logging.getLogger(__name__)
 
@@ -37,7 +40,11 @@ def evaluate_weakly_labelled_dir(
     dir_name: str | Path,
     out_prefix: str | Path | None = None,
     threshold: float = 0.7,
+    workers: int = DEFAULT_EVAL_WORKERS,
 ) -> WeakEvalResult:
+    """``workers`` files are decoded/detected/windowed concurrently in a
+    process pool (the reference's 8-proc prep, evaluate.py:81); prediction
+    and aggregation stay in the parent on device."""
     dir_name = Path(dir_name)
     labels = list(predictor.labels)
     if "None" not in labels:
@@ -55,23 +62,31 @@ def evaluate_weakly_labelled_dir(
         for f in sorted(sub_dir.iterdir()):
             if f.is_file() and f.suffix.lower() in (".wav", ".mp3", ".m4a",
                                                     ".flac"):
+                if sub_dir.name not in labels:
+                    log.info("Skipping %s: label %s not in model", f,
+                             sub_dir.name)
+                    continue
                 audio_files.append((sub_dir.name, f))
 
-    for count, (true_label, path) in enumerate(audio_files):
+    stream = preprocessed_eval_stream(
+        [((true_label, str(path)), path) for true_label, path in audio_files],
+        predictor.cfg, workers=workers,
+    )
+    for count, (key, windows, track_index, num_tracks, err) in enumerate(
+            stream):
+        true_label, path = key
         if count % 100 == 0:
             log.info("Done %s / %s", count, len(audio_files))
-        if true_label not in labels:
-            log.info("Skipping %s: label %s not in model", path, true_label)
-            continue
         true_i = labels.index(true_label)
-        try:
-            frames, sr = load_recording(path, target_sr=predictor.cfg.sr)
-        except Exception:
-            log.error("could not load %s", path, exc_info=True)
+        if err is not None:
+            log.error("preprocessing failed for %s: %s", path, err)
             continue
         try:
-            tracks, results = predictor.predict_recording(
-                frames, sr, threshold=threshold
+            probs = predictor.predict_windows(windows)
+            results = aggregate_tracks(
+                probs, track_index, num_tracks, predictor.labels,
+                threshold=threshold, model_name=predictor.model_name,
+                mode=predictor.infer_cfg.aggregation,
             )
         except Exception:
             log.error("prediction failed for %s", path, exc_info=True)

@@ -128,8 +128,30 @@ def add_new_square(squares: list[dict], lng: float, lat: float) -> dict:
     return square
 
 
-def find_region_meta(region_meta: list[dict], lng: float, lat: float):
-    for region in region_meta:
+def normalize_region_meta(region_meta) -> list[dict]:
+    """Accept BOTH region-metadata formats and return the flat list form.
+
+    Two formats exist: the reference's ebirdspecies.py output (shipped as
+    ``assets/ebird_species.json``) is a dict keyed by region code with
+    nested ``{"region": {"info": {"bounds": {minX..maxY}}}, "species"}``;
+    ``corpus.downloaders.download_ebird_species_lists`` writes the
+    flattened migration format — a list of
+    ``{code, bounds: [minX, minY, maxX, maxY], species}``."""
+    if isinstance(region_meta, dict):
+        out = []
+        for code, entry in region_meta.items():
+            b = (entry.get("region", {}).get("info", {}) or {}).get("bounds")
+            bounds = None
+            if b:
+                bounds = [b["minX"], b["minY"], b["maxX"], b["maxY"]]
+            out.append({"code": code, "bounds": bounds,
+                        "species": entry.get("species", [])})
+        return out
+    return list(region_meta)
+
+
+def find_region_meta(region_meta, lng: float, lat: float):
+    for region in normalize_region_meta(region_meta):
         b = region.get("bounds")
         if b and b[0] <= lng <= b[2] and b[1] <= lat <= b[3]:
             return region.get("code"), region

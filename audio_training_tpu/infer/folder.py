@@ -19,10 +19,8 @@ from pathlib import Path
 import numpy as np
 
 from audio_training_tpu.corpus.audioio import load_recording
-from audio_training_tpu.detect.signals import Signal
 from audio_training_tpu.eval.confusion import confusion_matrix, save_confusion
 from audio_training_tpu.eval.strong import find_audio_file
-from audio_training_tpu.infer.windows import extract_track_windows
 
 log = logging.getLogger(__name__)
 
@@ -43,10 +41,15 @@ def predict_on_folder(
     base_dir: str | Path,
     threshold: float | None = None,
     label_overrides: dict[str, str] | None = None,
+    workers: int = 1,
 ) -> FolderPredictResult:
     """Score every ``best_track``-annotated recording under ``base_dir``
     (predict.py:511-596).  ``label_overrides`` reproduces the reference's
-    morepo2 -> morepork rewrite (predict.py:570-571) generically."""
+    morepo2 -> morepork rewrite (predict.py:570-571) generically.
+    ``workers > 1`` decodes/windows files in a process pool while the
+    parent predicts on device (the eval-prep fan-out of evaluate.py:81)."""
+    from audio_training_tpu.eval.prep import preprocessed_span_stream
+
     base_dir = Path(base_dir)
     cfg = predictor.cfg
     threshold = (threshold if threshold is not None
@@ -55,6 +58,7 @@ def predict_on_folder(
     label_overrides = label_overrides or {}
     result = FolderPredictResult()
 
+    items = []
     for meta_file in sorted(base_dir.glob("**/*.txt")):
         audio_f = find_audio_file(meta_file)
         if audio_f is None:
@@ -73,30 +77,29 @@ def predict_on_folder(
         if label not in labels:
             log.info("Skipping %s: label %s not in model", meta_file, label)
             continue
-        frames, sr = load_recording(audio_f, target_sr=cfg.sr)
-        end = len(frames) / sr
-        track = Signal(best_track["start"], min(end, best_track["end"]),
-                       0, 15000, 0)
-        batch = extract_track_windows(
-            frames, sr, [track],
-            segment_length=cfg.segment_length, stride=cfg.segment_stride,
-            fmin=cfg.fmin, fmax=cfg.fmax,
-        )
-        if batch.windows.shape[0] == 0:
+        items.append(((str(meta_file), label), audio_f,
+                      best_track["start"], best_track["end"]))
+
+    for (meta_name, label), windows, err in preprocessed_span_stream(
+            items, cfg, workers=workers):
+        if err is not None:
+            log.error("preprocessing failed for %s: %s", meta_name, err)
             continue
-        probs = predictor.predict_windows(batch.windows).mean(axis=0)
+        if windows.shape[0] == 0:
+            continue
+        probs = predictor.predict_windows(windows).mean(axis=0)
         over = [labels[i] for i, p in enumerate(probs) if p >= threshold]
         label_conf = float(probs[labels.index(label)])
         correct = label in over
         result.total_files += 1
         result.total_correct += int(correct)
         result.per_file.append({
-            "file": str(meta_file), "label": label, "correct": correct,
+            "file": meta_name, "label": label, "correct": correct,
             "label_confidence": round(label_conf * 100),
             "predicted": over,
         })
         if not correct:
-            log.info("%s %s has %s%% — predictions %s", meta_file, label,
+            log.info("%s %s has %s%% — predictions %s", meta_name, label,
                      round(label_conf * 100), over)
     log.info("Correct %s out of %s (%s%%)", result.total_correct,
              result.total_files, round(100 * result.accuracy))

@@ -18,6 +18,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from audio_training_tpu.models.backbones import BACKBONES
@@ -329,10 +330,104 @@ def fold_gray_stem(spec: ModelSpec, variables):
     return jax.tree_util.tree_map_with_path(fold, variables)
 
 
-def build_random_forest(**kwargs):
-    """sklearn stand-in for the reference's ydf RandomForestLearner
-    (audiomodel.py:766-769).  Train with flattened short/mid feature
-    vectors; see audiomodel.tf_to_ydf (audiomodel.py:2790-2803)."""
+class YDFRandomForest:
+    """sklearn-compatible facade over ydf's RandomForestLearner — the
+    learner the reference actually builds for ``rf-features``
+    (audiomodel.py:766-769; dataset flattening per tf_to_ydf,
+    audiomodel.py:2790-2803).
+
+    ydf trains single-label classification, so multi-hot targets are
+    argmax-reduced for both fit and score.  Pickle support serializes via
+    ``model.serialize()`` (ydf models are not directly picklable)."""
+
+    def __init__(self, n_estimators: int = 300, random_state: int = 0):
+        import ydf  # noqa: F401 — fail fast if unavailable
+
+        self.n_estimators = n_estimators
+        self.random_state = random_state
+        self.model = None
+
+    @staticmethod
+    def _frame(x, y=None):
+        x = np.asarray(x)
+        data = {f"f{i:04d}": np.ascontiguousarray(x[:, i])
+                for i in range(x.shape[1])}
+        if y is not None:
+            data["label"] = np.asarray(y)
+        return data
+
+    @staticmethod
+    def _classes(y):
+        y = np.asarray(y)
+        return y.argmax(axis=1) if y.ndim == 2 else y
+
+    def fit(self, x, y):
+        import ydf
+
+        y_cls = self._classes(y).astype(str)
+        learner = ydf.RandomForestLearner(
+            label="label", num_trees=self.n_estimators,
+            random_seed=self.random_state,
+        )
+        self.model = learner.train(self._frame(x, y_cls))
+        return self
+
+    def predict(self, x):
+        preds = self.model.predict(self._frame(x))
+        preds = np.asarray(preds)
+        if preds.ndim == 2:  # per-class probabilities
+            classes = [int(c) for c in self.model.label_classes()]
+            return np.asarray(classes)[preds.argmax(axis=1)]
+        classes = self.model.label_classes()
+        return np.asarray([int(classes[1]) if p >= 0.5 else int(classes[0])
+                           for p in preds])
+
+    def score(self, x, y) -> float:
+        return float((self.predict(x) == self._classes(y)).mean())
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        if self.model is not None:
+            state["model"] = ("ydf-serialized", self.model.serialize())
+        return state
+
+    def __setstate__(self, state):
+        model = state.pop("model", None)
+        self.__dict__.update(state)
+        if isinstance(model, tuple) and model[0] == "ydf-serialized":
+            import ydf
+
+            model = ydf.deserialize_model(model[1])
+        self.model = model
+
+
+def rf_backends() -> list[str]:
+    """Random-forest backends available in this environment."""
+    backends = []
+    try:
+        import ydf  # noqa: F401
+
+        backends.append("ydf")
+    except ImportError:
+        pass
+    backends.append("sklearn")
+    return backends
+
+
+def build_random_forest(backend: str | None = None, **kwargs):
+    """Random forest for ``rf-features``: the reference builds a ydf
+    RandomForestLearner (audiomodel.py:766-769) — used here when ydf is
+    importable; sklearn's RandomForestClassifier is the fallback (ydf is
+    not bundled in every image).  ``backend`` forces one explicitly."""
+    if backend is None:
+        backend = rf_backends()[0]
+    if backend == "ydf":
+        return YDFRandomForest(
+            n_estimators=kwargs.pop("n_estimators", 300),
+            random_state=kwargs.pop("random_state", 0),
+        )
+    if backend != "sklearn":
+        raise ValueError(f"unknown rf backend {backend!r}")
     from sklearn.ensemble import RandomForestClassifier
 
     kwargs.setdefault("n_estimators", 300)

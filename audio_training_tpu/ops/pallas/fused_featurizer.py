@@ -141,7 +141,14 @@ def _dft_constants(hop: int) -> dict[str, np.ndarray]:
         [-c.imag.transpose(0, 2, 1), c.real.transpose(0, 2, 1)], axis=1
     ).astype(np.float32)
     win = hann_window(N_FFT)[None, :]  # (1, n_fft)
-    return {"d1ri": d1ri, "e_re": e_re, "e_im": e_im, "win": win}
+    # Rolled-window table for framing v3 (see _featurizer_kernel): for each
+    # lane offset o, the Hann window circularly rolled o samples, in the
+    # (R1, R2) frame-tile shape.  (R2, R1, R2) f32 = 2 MB of VMEM constants.
+    winr = np.stack([
+        np.roll(win[0], o).reshape(R1, R2) for o in range(R2)
+    ]).astype(np.float32)
+    return {"d1ri": d1ri, "e_re": e_re, "e_im": e_im, "win": win,
+            "winr": winr}
 
 
 def pack_mel_flat(mel_weights: np.ndarray) -> np.ndarray:
@@ -166,6 +173,7 @@ def _featurizer_kernel(
     e_re_ref,  # (R1, 2*K2C, R2)
     e_im_ref,  # (R1, 2*K2C, R2)
     win_ref,  # (R1, R2) hann window in frame-tile shape
+    winr_ref,  # (R2, R1, R2) rolled windows (framing v3)
     melw_ref,  # (M_pad, R1*K2C)
     *rest,  # [stats_ref (M_pad, 2)] out_ref, frames_scr, row_scr
     hop: int,
@@ -178,12 +186,25 @@ def _featurizer_kernel(
     in_rows: int = 0,
     scr_rows: int = 0,
     out_dtype: jnp.dtype = jnp.float32,
+    rolled: bool = True,
 ):
     """norm_wave_len > 0 folds the per-clip waveform min-max normalize
     (ops.features.normalize_rows, tfdataset.py:1916-1934) into the framing
     affine; ``frontend`` applies badwinner2's MagTransform + per-mel-row BN
     (badwinner2.py:230-233) to the mel output — the whole pre-CNN chain
-    then runs in this one kernel."""
+    then runs in this one kernel.
+
+    ``rolled`` selects framing v3 (round 4): each frame is assembled
+    CIRCULARLY ROLLED so that its first sample lands at lane 0 of an
+    aligned row — one full (R1, R2) load+mul+store per frame plus a tiny
+    (1, o) boundary fixup, instead of two lane-offset partial stores.  The
+    DFT of a circularly shifted sequence differs only by a per-bin PHASE
+    (shift theorem), and this kernel consumes |X|^2 only, so the power/mel
+    output is EXACTLY the true frame's (same math, different f32 rounding
+    order).  Measured at B=512: framing 11.38 -> 3.59 ms, full mel kernel
+    14.19 -> 12.46 ms (docs/PERFORMANCE.md round 4).  The
+    ``norm_wave_len`` fold keeps the v2 framing (its window scale/bias
+    masking is written in true-frame order)."""
     if frontend:
         stats_ref, out_ref, frames_scr, row_scr = rest
     else:
@@ -198,16 +219,34 @@ def _featurizer_kernel(
         w = jnp.clip(params_ref[3], 0.0, 1.0)
         eps = params_ref[4]
         logd = jnp.log(jnp.maximum(1.0 - w, 1e-30))
-        jj = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-        dt = (tt - jj).astype(jnp.float32)
-        ema_op = jnp.where(tt >= jj, jnp.exp(dt * logd), 0.0)
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, (m_pad, tile), 1
-        ).astype(jnp.float32)
-        decay_pow = jnp.exp((lane + 1.0) * logd)  # d^(t+1)
-        onehot0 = jnp.where(lane == 0.0, 1.0, 0.0)
-        onehot_last = jnp.where(lane == float(tile - 1), 1.0, 0.0)
+        # PCEN runs in CHUNKS of <= 128 frames within each tile (round 4):
+        # the Toeplitz EMA matmul is O(chunk^2) per mel row, so a single
+        # 520-frame tile paid a (520, 520) dot — 4x the MACs of 5 x 104
+        # chunks chained by the same decay-weighted carry the multi-tile
+        # path has always used (identical math, reassociated).  Measured
+        # at B=512: mel+PCEN 17.27 -> 15.13 ms (docs/PERFORMANCE.md r4).
+        n_chunks = -(-tile // TILE)
+        if tile % n_chunks == 0:
+            pcen_chunks = [tile // n_chunks] * n_chunks
+        else:
+            pcen_chunks = [TILE] * (tile // TILE)
+            if tile % TILE:
+                pcen_chunks.append(tile % TILE)
+
+        def pcen_tables(ct):
+            jj = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+            tt = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+            dt = (tt - jj).astype(jnp.float32)
+            ema_op = jnp.where(tt >= jj, jnp.exp(dt * logd), 0.0)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (m_pad, ct), 1
+            ).astype(jnp.float32)
+            decay_pow = jnp.exp((lane + 1.0) * logd)  # d^(t+1)
+            onehot0 = jnp.where(lane == 0.0, 1.0, 0.0)
+            onehot_last = jnp.where(lane == float(ct - 1), 1.0, 0.0)
+            return ema_op, decay_pow, onehot0, onehot_last
+
+        tables = {ct: pcen_tables(ct) for ct in sorted(set(pcen_chunks))}
         log_bias_root = jnp.exp(one_over_root * jnp.log(bias))
 
     d1ri_op, e_re_op = d1ri_ref[:], e_re_ref[:]
@@ -270,7 +309,20 @@ def _featurizer_kernel(
             for i in range(tile):
                 start = base + hop * i
                 q, o = divmod(start, R2)
-                if o == 0:
+                if rolled and o != 0:
+                    # framing v3: circularly-rolled frame.  Rows [q, q+R1)
+                    # hold samples [128q, 128q+4096) — the rolled sequence
+                    # x_true[(n - o) mod 4096] EXCEPT positions [0, o),
+                    # whose true tail samples live in row q+R1's first o
+                    # lanes.  One full aligned-lane store + a (1, o) fixup;
+                    # |DFT|^2 is circular-shift invariant, so power/mel is
+                    # exactly the true frame's.
+                    wr = winr_ref[o]
+                    frames_scr[i] = row_scr[q : q + R1, :] * wr
+                    frames_scr[i, 0:1, :o] = (
+                        row_scr[q + R1 : q + R1 + 1, :o] * wr[0:1, :o]
+                    )
+                elif o == 0:
                     frames_scr[i] = row_scr[q : q + R1, :] * win
                 else:
                     frames_scr[i, :, : R2 - o] = (
@@ -341,30 +393,37 @@ def _featurizer_kernel(
                 )
                 continue
 
-            # ---- PCEN: EMA as one lower-triangular Toeplitz matmul ------
-            m_scan = jax.lax.dot_general(
-                mel * w, ema_op,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (M_pad, F): sum_{j<=t} d^(t-j) * w * mel[:, j]
+            # ---- PCEN: EMA as chunked lower-triangular Toeplitz matmuls -
+            c0 = 0
+            for ct in pcen_chunks:
+                ema_op, decay_pow, onehot0, onehot_last = tables[ct]
+                melc = mel[:, c0 : c0 + ct]
+                m_scan = jax.lax.dot_general(
+                    melc * w, ema_op,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # (M_pad, ct): sum_{j<=t} d^(t-j) * w * mel[:, c0+j]
 
-            # carry: m_t += d^(t+1) * s_prev; at the clip start the
-            # reference seeds the EMA with frame 0 (tfpcen.py:33-39), so
-            # s_prev = mel[:, 0].
-            if carry is None:
-                s_prev = jnp.sum(mel * onehot0, axis=1, keepdims=True)
-            else:
-                s_prev = carry
-            m_full = m_scan + decay_pow * s_prev
-            carry = jnp.sum(m_full * onehot_last, axis=1, keepdims=True)
+                # carry: m_t += d^(t+1) * s_prev; at the clip start the
+                # reference seeds the EMA with frame 0 (tfpcen.py:33-39),
+                # so s_prev = mel[:, 0].
+                if carry is None:
+                    s_prev = jnp.sum(melc * onehot0, axis=1, keepdims=True)
+                else:
+                    s_prev = carry
+                m_full = m_scan + decay_pow * s_prev
+                carry = jnp.sum(m_full * onehot_last, axis=1, keepdims=True)
 
-            # PCEN pointwise (tfpcen.py:89-99); global min-max runs outside.
-            smooth_pow = jnp.exp(gain * jnp.log(eps + m_full))
-            out_ref[pl.ds(r, 1), :, g * tile : (g + 1) * tile] = (
-                jnp.exp(one_over_root * jnp.log(mel / smooth_pow + bias))
-                - log_bias_root
-            )[None].astype(out_dtype)
+                # PCEN pointwise (tfpcen.py:89-99); min-max runs outside.
+                smooth_pow = jnp.exp(gain * jnp.log(eps + m_full))
+                col = g * tile + c0
+                out_ref[pl.ds(r, 1), :, col : col + ct] = (
+                    jnp.exp(one_over_root * jnp.log(
+                        melc / smooth_pow + bias))
+                    - log_bias_root
+                )[None].astype(out_dtype)
+                c0 += ct
         return 0
 
     jax.lax.fori_loop(0, ROWS, row_body, 0)
@@ -426,11 +485,16 @@ def _fused_call(
     m_pad = melw_pad.shape[0]
     consts = _dft_constants(hop)
     frontend = fe_stats is not None
+    # framing v3 (rolled frames) whenever the window is the plain Hann; the
+    # normalize_waveform fold scales/biases the window in TRUE-frame order,
+    # so it keeps framing v2 (see _featurizer_kernel docstring)
+    rolled = norm_wave_len == 0
     kernel = functools.partial(
         _featurizer_kernel, hop=hop, tile=tile, n_tiles=n_tiles,
         precision=precision, do_pcen=do_pcen,
         norm_wave_len=norm_wave_len, frontend=frontend,
         in_rows=in_rows, scr_rows=scr_rows, out_dtype=out_dtype,
+        rolled=rolled,
     )
 
     def const_spec(shape):
@@ -451,10 +515,12 @@ def _fused_call(
         const_spec((R1, 2 * K2C, R2)),
         const_spec((R1, 2 * K2C, R2)),
         const_spec((R1, R2)),
+        const_spec((R2, R1, R2)),
         const_spec((m_pad, R1 * K2C)),
     ]
     operands = [params, raw_padded, d1ri, e_re, e_im,
-                jnp.asarray(consts["win"].reshape(R1, R2)), melw_pad]
+                jnp.asarray(consts["win"].reshape(R1, R2)),
+                jnp.asarray(consts["winr"]), melw_pad]
     if frontend:
         in_specs.append(const_spec((m_pad, 2)))
         operands.append(fe_stats)

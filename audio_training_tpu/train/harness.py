@@ -795,8 +795,12 @@ def train_run(
     hist_path = run_dir / "weight-hists.jsonl"
 
     def hist_writer(epoch, logs, st):
-        # track the trainable frontend scalars the reference histograms
-        # (MagTransform/PCEN a-power, audiomodel.log_hist_weights)
+        # per-epoch weight-histogram artifacts for the trainable frontend
+        # weights the reference streams to TensorBoard (MagTransform/PCEN
+        # a-power, audiomodel.log_hist_weights, audiomodel.py:2583-2592):
+        # scalar frontends record their values, larger weights a real
+        # (counts, bin-edges) histogram.  Appended per epoch — watchable
+        # mid-run, like run_dir/training-log.csv.
         import json as _json
 
         entries = {}
@@ -807,7 +811,16 @@ def train_run(
             if any(k in name for k in ("a_power", "gain", "bias", "root",
                                        "smooth")):
                 arr = np.asarray(leaf).ravel()
-                entries[name] = [float(v) for v in arr[:8]]
+                if arr.size <= 8:
+                    entries[name] = [float(v) for v in arr]
+                else:
+                    counts, edges = np.histogram(arr, bins=16)
+                    entries[name] = {
+                        "counts": counts.tolist(),
+                        "edges": [float(e) for e in edges],
+                        "mean": float(arr.mean()),
+                        "std": float(arr.std()),
+                    }
 
         jax.tree_util.tree_map_with_path(visit, st.params)
         with hist_path.open("a") as f:
@@ -1023,8 +1036,10 @@ def train_random_forest(
     """``rf-features``: fit a random forest on flattened short+mid
     hand-crafted features (audiomodel.py:766-769 builds a ydf
     RandomForestLearner; tf_to_ydf flattens the dataset,
-    audiomodel.py:2790-2803).  sklearn stands in for ydf (not bundled);
-    the model pickles into the run dir with accuracy in metadata."""
+    audiomodel.py:2790-2803).  The ydf backend is used when importable
+    (the reference's learner); sklearn is the fallback (ydf is not bundled
+    in every image) — pass ``backend=`` in ``rf_kwargs`` to force one.
+    The model pickles into the run dir with accuracy in metadata."""
     import pickle
 
     from audio_training_tpu.data.embeddings import FeatureStream
@@ -1059,6 +1074,7 @@ def train_random_forest(
             "--add-features"
         )
     rf = build_random_forest(random_state=train_cfg.seed, **rf_kwargs)
+    rf_backend = type(rf).__name__
     rf.fit(x_train, y_train)
     history: dict = {"train_accuracy": [float(rf.score(x_train, y_train))]}
     x_val, y_val = xy("validation")
@@ -1073,7 +1089,7 @@ def train_random_forest(
         training_data_meta={
             k: v for k, v in data_meta.items() if k in ("counts", "type")
         },
-        extra={"rf_history": history},
+        extra={"rf_history": history, "rf_backend": rf_backend},
     )
     log.info("random forest trained: %s", history)
     return TrainRunResult(run_dir=run_dir, labels=labels, history=history)

@@ -91,6 +91,28 @@ def _write_epoch_confusion(out_dir: Path, epoch: int, y_true, y_pred,
     save_confusion(cm, out_labels, out_dir / f"epoch_{epoch:03d}")
 
 
+class ScalarLog:
+    """Streaming per-epoch scalar log: one CSV row appended per epoch, so a
+    person (or a tail -f) can watch a run mid-fit — the live-observability
+    role of the reference's TensorBoard scalar stream (audiomodel.py:556-558).
+    Columns are fixed by the first epoch's keys; keys appearing later are
+    ignored (the key set is stable after epoch 0 in practice)."""
+
+    def __init__(self, path: Path):
+        self.path = path
+        self.header: list[str] | None = None
+
+    def append(self, epoch: int, logs: dict) -> None:
+        if self.header is None:
+            self.header = ["epoch"] + sorted(logs)
+            self.path.write_text(",".join(self.header) + "\n")
+        row = [str(epoch)] + [
+            repr(float(logs[k])) if k in logs else "" for k in self.header[1:]
+        ]
+        with self.path.open("a") as f:
+            f.write(",".join(row) + "\n")
+
+
 @dataclass
 class FitResult:
     state: TrainState
@@ -161,6 +183,10 @@ def fit(
     stopper = EarlyStopping(patience=early_stop_patience)
     reducer = ReduceLROnPlateau(
         patience=reduce_lr_patience, factor=reduce_lr_factor
+    )
+    scalar_log = (
+        ScalarLog(Path(run_dir) / "training-log.csv")
+        if run_dir is not None else None
     )
     history: dict[str, list] = {}
     key = jax.random.PRNGKey(seed)
@@ -234,6 +260,8 @@ def fit(
             n_steps,
             {k: round(v, 4) for k, v in logs.items()},
         )
+        if scalar_log is not None:
+            scalar_log.append(epoch, logs)
         if hist_writer is not None:
             hist_writer(epoch, logs, state)
 

@@ -144,6 +144,13 @@ def main() -> None:
         "value": round(bw_audio_s, 1),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(bw_audio_s / TARGET, 4),
+        # single-chip context (docs/PERFORMANCE.md ceiling math): the CNN
+        # alone needs 13.25 GFLOP/clip -> 17.2 ms/batch-256 at v5e nominal
+        # bf16 peak vs a 15.36 ms budget, so 50k is FLOP-infeasible on one
+        # chip; the batch dim shards linearly over the data mesh axis
+        # (dryrun-verified, __graft_entry__.dryrun_multichip), so this many
+        # chips clear the target:
+        "dp_chips_for_50k": int(np.ceil(TARGET / bw_audio_s)),
     }), flush=True)
 
     # ---- chain 2 (official): waveform -> mel -> PCEN -> backbone logits --
@@ -169,19 +176,22 @@ def main() -> None:
         except ValueError:
             folded = False  # per-channel-preprocessing backbone
 
-    def full_pcen(r, salt):
-        # waveform -> mel -> PCEN.  The per-step salt (an SMEM param of the
-        # opaque Pallas call) defeats XLA loop hoisting/CSE and the relay's
-        # result cache WITHOUT mutating the raw batch: carrying the batch
-        # through the scan and bumping one element made XLA pick a
-        # batch-minor carry layout and pay ~2 ms/iter relaying 288 MB back
-        # to row-major (copy.7/11/13 in the device profile) — a cost real
-        # serving never pays, since fresh batches arrive row-major.
-        img = fz(r, pcen=True, step_salt=salt,
-                 out_dtype=jnp.bfloat16)[..., None]
-        if not folded:
-            img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-channel repeat
-        return eff_spec.module.apply(eff_vars, img, train=False)
+    def make_full_pcen(featurizer):
+        def full_pcen(r, salt):
+            # waveform -> mel -> PCEN.  The per-step salt (an SMEM param of
+            # the opaque Pallas call) defeats XLA loop hoisting/CSE and the
+            # relay's result cache WITHOUT mutating the raw batch: carrying
+            # the batch through the scan and bumping one element made XLA
+            # pick a batch-minor carry layout and pay ~2 ms/iter relaying
+            # 288 MB back to row-major (copy.7/11/13 in the device profile)
+            # — a cost real serving never pays, since fresh batches arrive
+            # row-major.
+            img = featurizer(r, pcen=True, step_salt=salt,
+                             out_dtype=jnp.bfloat16)[..., None]
+            if not folded:
+                img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-ch repeat
+            return eff_spec.module.apply(eff_vars, img, train=False)
+        return full_pcen
 
     # Row-major clip view (B, L//128, 128): the serving fast path — the
     # minor-dim split happens once on the host instead of per scan step
@@ -203,13 +213,39 @@ def main() -> None:
             return sums.sum()
         return run
 
-    pcen_audio_s = _measure(scan_chain_salt(full_pcen), raw_pcen, BATCH_PCEN,
-                            cfg.segment_length)
+    # Non-official companion line: the SAME chain with the featurizer at
+    # exact-parity f32 ("highest", 1.96e-7 on-chip mel parity), so the
+    # artifact records both tiers of the parity-vs-speed tradeoff.  The
+    # official line ships the bf16 featurizer tier (~2e-3 mel error) whose
+    # end-to-end prediction delta through the bf16 CNN is max |dprob| =
+    # 6e-5 — the CNN's own bf16 noise floor (docs/PERFORMANCE.md).
+    if precision != "highest":
+        fz_exact = FusedFeaturizer(
+            build_mel_weights(cfg), cfg.n_fft, cfg.hop_length,
+            precision="highest",
+        )
+        exact_audio_s = _measure(
+            scan_chain_salt(make_full_pcen(fz_exact)), raw_pcen, BATCH_PCEN,
+            cfg.segment_length,
+        )
+        print(json.dumps({
+            "metric": "audio-seconds/sec/chip (mel+PCEN+CNN infer; "
+                      f"{backbone}; exact-parity featurizer tier)",
+            "value": round(exact_audio_s, 1),
+            "unit": "audio_s/s/chip",
+            "vs_baseline": round(exact_audio_s / TARGET, 4),
+        }), flush=True)
+
+    pcen_audio_s = _measure(
+        scan_chain_salt(make_full_pcen(fz)), raw_pcen, BATCH_PCEN,
+        cfg.segment_length,
+    )
     print(json.dumps({
         "metric": f"audio-seconds/sec/chip (mel+PCEN+CNN infer; {backbone})",
         "value": round(pcen_audio_s, 1),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(pcen_audio_s / TARGET, 4),
+        "featurizer_tier": precision,
     }), flush=True)
 
 

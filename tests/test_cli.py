@@ -152,6 +152,18 @@ def test_train_run_outputs(trained_run):
     epoch_cms = sorted((run_dir / "epoch-confusion").glob("epoch_*.npy"))
     assert len(epoch_cms) == 2  # one per epoch
     assert (run_dir / "epoch-confusion" / "epoch_000.png").exists()
+    # live observability: the scalar stream is appended per epoch (one CSV
+    # row each) and the frontend weight-histogram jsonl has an entry per
+    # epoch — both watchable mid-run (audiomodel.py:556-558, 2583-2592)
+    csv_lines = (run_dir / "training-log.csv").read_text().splitlines()
+    assert len(csv_lines) == 3  # header + 2 epochs
+    header = csv_lines[0].split(",")
+    assert header[0] == "epoch" and "loss" in header and "lr" in header
+    assert any(h.startswith("val_") for h in header)
+    hists = [json.loads(l) for l in
+             (run_dir / "weight-hists.jsonl").read_text().splitlines()]
+    assert [h["epoch"] for h in hists] == [0, 1]
+    assert any("a_power" in k for k in hists[0])
 
 
 def test_freeze_and_predict(trained_run, tmp_path):

@@ -128,3 +128,115 @@ def test_signal_meta():
     meta = s.get_meta()
     assert meta["start"] == 1.0
     assert meta["positions"][0]["y"] == pytest.approx(500 / 24000)
+
+
+# ---------------------------------------------------------------------------
+# Cross-oracle parity vs the actual reference identifytracks.py
+# ---------------------------------------------------------------------------
+
+
+def _librosa_stub():
+    """Minimal librosa shim (librosa is not bundled) implementing exactly
+    the two functions the reference detection path calls, with librosa's
+    conventions (centered constant-pad hann stft; linear rfft freqs) —
+    written independently of the package's own host-stft helper."""
+    import types
+
+    m = types.ModuleType("librosa")
+
+    def stft(y, n_fft=2048, hop_length=512, **kw):
+        half = n_fft // 2
+        x = np.pad(np.asarray(y, np.float32), (half, half))
+        n_frames = 1 + (len(x) - n_fft) // hop_length
+        starts = np.arange(n_frames) * hop_length
+        idx = starts[:, None] + np.arange(n_fft)[None, :]
+        k = np.arange(n_fft)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * k / n_fft)
+        return np.fft.rfft(x[idx] * win, axis=1).T
+
+    def fft_frequencies(sr=22050, n_fft=2048):
+        return np.linspace(0, sr / 2, 1 + n_fft // 2, endpoint=True)
+
+    m.stft = stft
+    m.fft_frequencies = fft_frequencies
+    return m
+
+
+@pytest.fixture(scope="module")
+def reference_identifytracks():
+    """Import /root/reference/identifytracks.py with the librosa shim."""
+    import importlib
+    import pathlib
+    import sys
+
+    ref = pathlib.Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference tree not present")
+    pytest.importorskip("cv2")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    had_librosa = "librosa" in sys.modules
+    if not had_librosa:
+        sys.modules["librosa"] = _librosa_stub()
+    sys.path.insert(0, str(ref))
+    try:
+        for name in ("custommel", "plot_utils", "identifytracks"):
+            sys.modules.pop(name, None)
+        module = importlib.import_module("identifytracks")
+        yield module
+    finally:
+        sys.path.pop(0)
+        for name in ("custommel", "plot_utils", "identifytracks"):
+            sys.modules.pop(name, None)
+        if not had_librosa:
+            sys.modules.pop("librosa", None)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,events", [
+    (0, [(1.0, 1.2, 2000), (6.0, 1.0, 5000)]),
+    (1, [(0.5, 0.6, 1500), (1.3, 0.8, 1800), (4.0, 2.5, 6000),
+         (7.5, 0.4, 900)]),
+    (2, [(2.0, 7.5, 3000)]),          # long track: split >6 s path
+    (3, [(1.0, 0.2, 4000)]),          # short blip: min-length drop path
+])
+def test_detection_cross_oracle(reference_identifytracks, seed, events):
+    """detect/signals vs the REFERENCE identifytracks on identical
+    synthetic recordings: identical Signal boxes (signal_noise,
+    identifytracks.py:51-143) and identical track spans after the
+    order-sensitive merge loops (get_tracks_from_signals,
+    identifytracks.py:162-301)."""
+    ref = reference_identifytracks
+    x = make_recording(events, total=10.0, seed=seed)
+
+    ref_end = ref.get_end(x, SR)
+    our_end = get_end(x, SR)
+    assert our_end == pytest.approx(ref_end, abs=1e-9)
+
+    ref_signals, _ = ref.signal_noise(x, SR)
+    our_signals, _ = signal_noise(x, SR)
+    assert len(our_signals) == len(ref_signals)
+    for ours, theirs in zip(our_signals, ref_signals):
+        assert ours.start == pytest.approx(theirs.start, abs=1e-9)
+        assert ours.end == pytest.approx(theirs.end, abs=1e-9)
+        assert ours.freq_start == pytest.approx(theirs.freq_start, rel=1e-6)
+        assert ours.freq_end == pytest.approx(theirs.freq_end, rel=1e-6)
+        assert ours.mass == theirs.mass
+
+    ref_tracks = ref.get_tracks_from_signals(
+        [ref.Signal(s.start, s.end, s.freq_start, s.freq_end, s.mass)
+         for s in ref_signals],
+        ref_end,
+    )
+    our_tracks = get_tracks_from_signals(
+        [Signal(s.start, s.end, s.freq_start, s.freq_end, s.mass)
+         for s in our_signals],
+        our_end,
+    )
+    assert len(our_tracks) == len(ref_tracks)
+    for ours, theirs in zip(our_tracks, ref_tracks):
+        assert ours.start == pytest.approx(theirs.start, abs=1e-9)
+        assert ours.end == pytest.approx(theirs.end, abs=1e-9)
+        assert ours.freq_start == pytest.approx(theirs.freq_start, rel=1e-6)
+        assert ours.freq_end == pytest.approx(theirs.freq_end, rel=1e-6)

@@ -210,10 +210,19 @@ def test_train_run_cnn_features_model(tmp_path):
     assert (result.run_dir / "chkpt").exists()
 
 
+def _rf_backends():
+    from audio_training_tpu.models.registry import rf_backends
+
+    return rf_backends()
+
+
 @pytest.mark.slow
-def test_train_random_forest(tmp_path):
+@pytest.mark.parametrize("backend", _rf_backends())
+def test_train_random_forest(tmp_path, backend):
     """rf-features: random forest over flattened hand-crafted features
-    (audiomodel.py:766-769 + tf_to_ydf)."""
+    (audiomodel.py:766-769 + tf_to_ydf), on whichever backends this
+    environment provides (ydf when importable — the reference's learner —
+    else sklearn)."""
     import json
 
     import numpy as np
@@ -255,13 +264,15 @@ def test_train_random_forest(tmp_path):
     }))
 
     result = train_random_forest(
-        [data], "rfrun", checkpoint_root=tmp_path / "ckpt",
+        [data], f"rfrun-{backend}", checkpoint_root=tmp_path / "ckpt",
         train_cfg=TrainConfig(model_name="rf-features"), n_estimators=20,
+        backend=backend,
     )
     assert result.history["train_accuracy"][0] > 0.9  # separable
     assert result.history["val_accuracy"][0] > 0.9
     assert (result.run_dir / "random_forest.pkl").exists()
-    assert (result.run_dir / "metadata.txt").exists()
+    meta = json.loads((result.run_dir / "metadata.txt").read_text())
+    assert meta["rf_backend"] in ("RandomForestClassifier", "YDFRandomForest")
 
 
 @pytest.mark.slow

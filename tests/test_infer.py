@@ -23,7 +23,9 @@ from audio_training_tpu.infer import (
 from audio_training_tpu.infer.ebirdgrid import (
     add_ebird,
     binary_grid_search,
+    find_region_meta,
     merge_neighbours,
+    normalize_region_meta,
     set_neighbours,
 )
 
@@ -252,6 +254,36 @@ def test_binary_grid_search_miss():
     squares = [{"bounds": [174.0, -41.1, 174.1, -41.0],
                 "species_per_month": {}}]
     assert binary_grid_search(squares, 10.0, 0.0) is None
+
+
+def test_region_meta_both_formats():
+    """find_region_meta accepts the reference dict format (the shipped
+    assets/ebird_species.json) AND the downloader's flattened list."""
+    ref_format = {
+        "NZ-WGN": {
+            "region": {"code": "NZ-WGN", "name": "Wellington", "info": {
+                "bounds": {"minX": 174.0, "minY": -41.5,
+                           "maxX": 176.0, "maxY": -40.5}}},
+            "species": ["tui1"],
+        },
+    }
+    flat_format = [{"code": "NZ-WGN",
+                    "bounds": [174.0, -41.5, 176.0, -40.5],
+                    "species": ["tui1"]}]
+    assert normalize_region_meta(ref_format) == flat_format
+    for meta in (ref_format, flat_format):
+        code, region = find_region_meta(meta, 175.0, -41.0)
+        assert code == "NZ-WGN" and region["species"] == ["tui1"]
+        assert find_region_meta(meta, 10.0, 0.0) == (None, None)
+
+    # the real shipped asset passes through the normalizer
+    import audio_training_tpu
+
+    asset = Path(audio_training_tpu.__file__).parent / "assets" / (
+        "ebird_species.json")
+    shipped = normalize_region_meta(json.loads(asset.read_text()))
+    assert all(r["bounds"] and len(r["bounds"]) == 4 for r in shipped)
+    assert all(r["species"] for r in shipped)
 
 
 def test_add_ebird(tmp_path):
