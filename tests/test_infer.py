@@ -277,6 +277,8 @@ def test_region_meta_both_formats():
         assert find_region_meta(meta, 10.0, 0.0) == (None, None)
 
     # the real shipped asset passes through the normalizer
+    from pathlib import Path
+
     import audio_training_tpu
 
     asset = Path(audio_training_tpu.__file__).parent / "assets" / (
