@@ -184,7 +184,18 @@ def signal_noise(
 
     width = int(SIGNAL_WIDTH * sr / hop_length)
     signal = _morph_dilate(signal, np.ones((height, width), np.uint8))
-    signal = _morph_erode(signal, np.ones((max(height // 10, 1), width), np.uint8))
+    # Reference quirk reproduced exactly (identifytracks.py:99): at 48 kHz
+    # ``height // 10 == 0``, so the reference hands cv2.erode an EMPTY
+    # (0, width) kernel — and cv2 silently substitutes its DEFAULT 3x3
+    # structuring element (verified; a (1, width) "fix" erodes far more
+    # aggressively along time and changes the detected boxes).  The
+    # cross-oracle parity test (test_detection_cross_oracle) anchors this.
+    erode_h = height // 10
+    erode_kernel = (
+        np.ones((erode_h, width), np.uint8) if erode_h > 0
+        else np.ones((3, 3), np.uint8)
+    )
+    signal = _morph_erode(signal, erode_kernel)
 
     stats = _connected_components(signal)
     stats = sorted(stats, key=lambda s: s[0])

@@ -158,16 +158,22 @@ def test_per_record_parity(ref_tfdataset, shard48k):
         possible_from_geo,
     )
 
+    # use_bird_tags=True keeps generic-bird-only records (default-off
+    # filter at tfdataset.py:751-755; flag exposed at audiomodel.py:2311)
+    # — they are the records that exercise the geo possible_labels paths
     ds, remapped, epoch_size, labels2, extra = ref_tfdataset.get_dataset(
         shard48k, list(LABELS), augment=False, shuffle=False,
-        deterministic=True, cache=False, debug=True,
+        deterministic=True, cache=False, debug=True, use_bird_tags=True,
     )
     ref_rows = []
+    # debug-mode tuple (read_tfrecord, tfdataset.py:1213-1228): (label,
+    # embed_preds=None, signal_percent, rec_id, track_id, possible_labels,
+    # low_sample, start_s, text)
     for x, y in ds:
         ref_rows.append({
-            "rec_id": y[2].numpy().decode(),
+            "rec_id": y[3].numpy().decode(),
             "one_hot": y[0].numpy().astype(np.float32),
-            "possible": y[4].numpy().astype(np.float32),
+            "possible": y[5].numpy().astype(np.float32),
             "raw": x.numpy(),
         })
     assert ref_rows, "reference pipeline yielded nothing"
@@ -271,11 +277,20 @@ def test_class_weighting_table_matches(ref_tfdataset, shard48k):
     from audio_training_tpu.data.pipeline import RecordStream
     from audio_training_tpu.data.preprocess import get_weighting
 
+    import tensorflow as tf
+
     ds, remapped, epoch_size, labels2, extra = ref_tfdataset.get_dataset(
         shard48k, list(LABELS), augment=False, shuffle=False,
-        deterministic=True, cache=False, debug=True,
+        deterministic=True, cache=False, debug=True, use_bird_tags=True,
     )
-    ref_weights = ref_tfdataset.get_weighting(ds, list(labels2))
+    # get_weighting expects the BATCHED training dataset (its
+    # get_distribution iterates (x, y) batches, tfdataset.py:1345-1360);
+    # rebatch the debug stream's one-hots into that shape
+    onehots = np.stack([y[0].numpy() for _, y in ds]).astype(np.float32)
+    ref_ds = tf.data.Dataset.from_tensor_slices(
+        (np.zeros((len(onehots), 1), np.float32), onehots)
+    ).batch(4)
+    ref_weights = ref_tfdataset.get_weighting(ref_ds, list(labels2))
 
     _, space = _our_space()
     stream = RecordStream(
