@@ -84,6 +84,7 @@ from audio_training_tpu.ops.stft import (
 R1 = 32  # stage-1 DFT size (k1 bins)
 R2 = 128  # stage-2 DFT size (n2 / lane dimension)
 K2C = 32  # stage-2 columns kept: bins k1 + 32*k2 cover 0..1023
+HB = R1 // 2  # conjugate-folded stage-2 batch count (see _dft_constants)
 TILE = 128  # frames per multi-tile chunk (long inputs only)
 N_FFT = R1 * R2
 
@@ -112,34 +113,69 @@ def _dot(lhs, rhs, dn, precision):
 
 
 def _dft_constants(hop: int) -> dict[str, np.ndarray]:
-    """Trace-time operator tables for the two-stage DFT.
+    """Trace-time operator tables for the two-stage DFT, CONJUGATE-FOLDED
+    (round 4).
+
+    The frame is real, so the stage-1 DFT-32 planes obey
+    ``a[32-k1] = conj(a[k1])`` — only 32 real planes are independent
+    (17 re + 15 im; ``a_im[0] = a_im[16] = 0``).  Stage 1 therefore emits
+    exactly 32 plane rows (M 64 -> 32, half the stage-1 MACs and half the
+    live intermediate):
+
+      planes[0..16]  = a_re[k1 = 0..16]
+      planes[17..31] = a_im[k1 = 1..15]
+
+    Stage 2 rebatches the 32 x (M=64) dots as HB=16 batches of M=128
+    (same MACs, full-M tiles): batch b contracts P1[b] = planes[b] and
+    P2[b] = planes[16+b] and outputs re/im of BOTH ``X[b + 32 k2]`` and
+    ``X[(32-b) + 32 k2]`` (batch 0 pairs the self-conjugate k1=0 with
+    k1=16, whose im-planes are zero).  The mel packing (pack_mel_flat)
+    permutes filterbank columns into the resulting (b, half, k2) flat
+    order, so the mel output is the same bins — measured 12.8 -> 10.8
+    ms/iter at B=512 on the full PCEN kernel, parity vs the unfolded
+    operators 3e-7 (probe method /tmp/probe_conj.py; docs/PERFORMANCE.md
+    round 4).
 
     (A merged single-dot stage 2 contracting ``(part, n2)`` with K=256 was
     tried and REJECTED by Mosaic: ``tpu.matmul lhs contracting dims must be
     of size 1`` — multi-dim contractions don't lower.  Stage 2 stays as two
     K=128 batched dots.)
     """
-    n1 = np.arange(R1)[:, None]
-    k1 = np.arange(R1)[None, :]
-    w32 = np.exp(-2j * np.pi * n1 * k1 / R1)  # [n1, k1]
-    # stage-1 operator with re over im stacked into M: (2*R1, R1) = [k1ri, n1]
-    d1ri = np.concatenate([w32.real.T, w32.imag.T], axis=0).astype(np.float32)
+    n1 = np.arange(R1)
+    # a[k1, n2] = sum_n1 x[128 n1 + n2] e^{-2pi i n1 k1 / 32}
+    cosm = np.cos(2 * np.pi * np.outer(n1, n1) / R1)  # [n1, k1] symmetric
+    sinm = -np.sin(2 * np.pi * np.outer(n1, n1) / R1)
+    d1ri = np.zeros((R1, R1), np.float64)  # plane rows x n1
+    for k1 in range(HB + 1):
+        d1ri[k1] = cosm[:, k1]
+    for j, k1 in enumerate(range(1, HB)):
+        d1ri[HB + 1 + j] = sinm[:, k1]
+    d1ri = d1ri.astype(np.float32)
 
     n2 = np.arange(R2)
     k2 = np.arange(K2C)
     tw = np.exp(-2j * np.pi * np.arange(R1)[:, None] * n2[None, :] / N_FFT)
     d2 = np.exp(-2j * np.pi * n2[:, None] * k2[None, :] / R2)  # [n2, k2]
-    # folded stage-2 coefficient C[k1, n2, k2] = tw[k1, n2] * d2[n2, k2]
-    c = tw[:, :, None] * d2[None, :, :]
-    # operators are pre-transposed to (k1, j, n2) so the batched dot
-    # produces (k1, j, frames) with frames on the lane dimension;
-    # j in [0, K2C) is X_re[k2=j], j in [K2C, 2*K2C) is X_im[k2=j-K2C].
-    e_re = np.concatenate(  # coefficient of a_re
-        [c.real.transpose(0, 2, 1), c.imag.transpose(0, 2, 1)], axis=1
-    ).astype(np.float32)
-    e_im = np.concatenate(  # coefficient of a_im
-        [-c.imag.transpose(0, 2, 1), c.real.transpose(0, 2, 1)], axis=1
-    ).astype(np.float32)
+    # folded stage-2 coefficient C[k1, n2, k2] = tw[k1, n2] * d2[n2, k2],
+    # pre-transposed to (k1, k2, n2) so frames land on the lane dimension
+    ct = (tw[:, :, None] * d2[None, :, :]).transpose(0, 2, 1)
+    e_re = np.zeros((HB, 4 * K2C, R2), np.float64)  # coeff of P1 = planes[b]
+    e_im = np.zeros((HB, 4 * K2C, R2), np.float64)  # coeff of P2 = planes[16+b]
+    zero = np.zeros((K2C, R2))
+    for b in range(HB):
+        if b == 0:
+            # P1[0] = a_re[0] -> X[32 k2]; P2[0] = a_re[16] -> X[16 + 32 k2]
+            e_re[0] = np.concatenate([ct[0].real, ct[0].imag, zero, zero])
+            e_im[0] = np.concatenate([zero, zero, ct[HB].real, ct[HB].imag])
+        else:
+            kc = R1 - b  # the conjugate partner: a_re[kc] = a_re[b],
+            # a_im[kc] = -a_im[b]
+            e_re[b] = np.concatenate(
+                [ct[b].real, ct[b].imag, ct[kc].real, ct[kc].imag])
+            e_im[b] = np.concatenate(
+                [-ct[b].imag, ct[b].real, ct[kc].imag, -ct[kc].real])
+    e_re = e_re.astype(np.float32)
+    e_im = e_im.astype(np.float32)
     win = hann_window(N_FFT)[None, :]  # (1, n_fft)
     # Rolled-window table for framing v3 (see _featurizer_kernel): for each
     # lane offset o, the Hann window circularly rolled o samples, in the
@@ -152,14 +188,20 @@ def _dft_constants(hop: int) -> dict[str, np.ndarray]:
 
 
 def pack_mel_flat(mel_weights: np.ndarray) -> np.ndarray:
-    """(M, 1+n_fft//2) filterbank -> (M, R1*K2C) in (k1, k2) bin order
-    (bin k = k1 + R1*k2 lives at flat index k1*K2C + k2)."""
+    """(M, 1+n_fft//2) filterbank -> (M, R1*K2C) in the conjugate-folded
+    kernel's power order: bin k = k1 + R1*k2 lives at flat index
+    ``b*2*K2C + half*K2C + k2`` where batch b and half recover k1 as
+    ``k1 = b`` (half 0) or ``k1 = 32-b, with b=0 -> 16`` (half 1) — see
+    _dft_constants."""
     m, n_bins = mel_weights.shape
     out = np.zeros((m, R1 * K2C), np.float32)
-    k = np.arange(R1 * K2C)
-    k1, k2 = k % R1, k // R1
-    valid = k < n_bins
-    out[:, (k1 * K2C + k2)[valid]] = mel_weights[:, k[valid]]
+    for b in range(HB):
+        for half in range(2):
+            k1 = b if half == 0 else (HB if b == 0 else R1 - b)
+            for k2 in range(K2C):
+                k = k1 + R1 * k2
+                if k < n_bins:
+                    out[:, b * 2 * K2C + half * K2C + k2] = mel_weights[:, k]
     return out
 
 
@@ -169,9 +211,9 @@ ROWS = 8  # clips per grid step: keeps the raw operand in T(8,128)
 def _featurizer_kernel(
     params_ref,  # SMEM (8,): gain bias root smooth eps a_power ...
     raw_ref,  # (ROWS, L//128, 128) eight clips, row-major sample view
-    d1ri_ref,  # (2*R1, R1)
-    e_re_ref,  # (R1, 2*K2C, R2)
-    e_im_ref,  # (R1, 2*K2C, R2)
+    d1ri_ref,  # (R1, R1) conjugate-folded stage-1 planes operator
+    e_re_ref,  # (HB, 4*K2C, R2) coeff of planes[b]
+    e_im_ref,  # (HB, 4*K2C, R2) coeff of planes[16+b]
     win_ref,  # (R1, R2) hann window in frame-tile shape
     winr_ref,  # (R2, R1, R2) rolled windows (framing v3)
     melw_ref,  # (M_pad, R1*K2C)
@@ -352,25 +394,30 @@ def _featurizer_kernel(
                             idx2 < v, win_bias, 0.0
                         )
 
-            # ---- stage 1: contract n1; re/im stacked into M ------------
+            # ---- stage 1: contract n1 -> 32 independent real planes -----
+            # (conjugate fold, see _dft_constants: rows 0..16 a_re[0..16],
+            # rows 17..31 a_im[1..15])
             x2 = frames_scr[:]  # (F, n1, n2) — the scratch's native shape
             a = _dot(
                 d1ri_op, x2, (((1,), (1,)), ((), ())), precision
-            )  # (2*R1, F, n2)
+            )  # (R1, F, n2)
 
-            # ---- stage 2 (twiddle folded): batched over k1 --------------
+            # ---- stage 2 (twiddle folded): HB=16 batches of M=128 -------
+            # batch b outputs re/im of X[b + 32 k2] AND X[(32-b) + 32 k2]
             dn = (((2,), (2,)), ((0,), (0,)))
             x_ri = _dot(
-                e_re_op, a[:R1], dn, precision
+                e_re_op, a[:HB], dn, precision
             ) + _dot(
-                e_im_op, a[R1:], dn, precision
-            )  # (k1, 2*K2C, F)
+                e_im_op, a[HB:], dn, precision
+            )  # (b, 4*K2C, F): [re X(b); im X(b); re X(pair); im X(pair)]
 
             # ---- power + mel ---------------------------------------------
-            power = (
+            power = jnp.concatenate([
                 x_ri[:, :K2C, :] * x_ri[:, :K2C, :]
-                + x_ri[:, K2C:, :] * x_ri[:, K2C:, :]
-            )  # (k1, k2, F)
+                + x_ri[:, K2C : 2 * K2C, :] * x_ri[:, K2C : 2 * K2C, :],
+                x_ri[:, 2 * K2C : 3 * K2C, :] * x_ri[:, 2 * K2C : 3 * K2C, :]
+                + x_ri[:, 3 * K2C :, :] * x_ri[:, 3 * K2C :, :],
+            ], axis=1)  # (b, 2*K2C, F) in pack_mel_flat's (b, half, k2) order
             mel = _dot(
                 melw_op, power.reshape(R1 * K2C, tile),
                 (((1,), (0,)), ((), ())), precision,
@@ -502,7 +549,7 @@ def _fused_call(
                             memory_space=pltpu.VMEM)
 
     frames_total = n_tiles * tile
-    mac = tile * (2 * R1 * R1 * R2 + 2 * R1 * 2 * K2C * R2
+    mac = tile * (R1 * R1 * R2 + 2 * HB * 4 * K2C * R2
                   + R1 * K2C * m_pad + tile * m_pad)
     d1ri = jnp.asarray(consts["d1ri"])
     e_re = jnp.asarray(consts["e_re"])
@@ -511,9 +558,9 @@ def _fused_call(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((ROWS, in_rows, 128), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        const_spec((2 * R1, R1)),
-        const_spec((R1, 2 * K2C, R2)),
-        const_spec((R1, 2 * K2C, R2)),
+        const_spec((R1, R1)),
+        const_spec((HB, 4 * K2C, R2)),
+        const_spec((HB, 4 * K2C, R2)),
         const_spec((R1, R2)),
         const_spec((R2, R1, R2)),
         const_spec((m_pad, R1 * K2C)),

@@ -75,10 +75,23 @@ def test_pcen_custom_params(cfg, mel_w, raw):
 def test_pack_mel_flat_layout(mel_w):
     flat = pack_mel_flat(mel_w)
     assert flat.shape == (mel_w.shape[0], 1024)
-    # bin k = k1 + 32*k2 lives at k1*32 + k2
-    for k in [0, 1, 33, 940]:
+    # conjugate-folded order: bin k = k1 + 32*k2 lives at
+    # b*64 + half*32 + k2 with k1 = b (half 0) or 32-b / 16-at-b=0 (half 1)
+    for k in [0, 1, 16, 33, 512, 940]:
         k1, k2 = k % 32, k // 32
-        np.testing.assert_array_equal(flat[:, k1 * 32 + k2], mel_w[:, k])
+        if k1 <= 15:
+            b, half = k1, 0
+        elif k1 == 16:
+            b, half = 0, 1
+        else:
+            b, half = 32 - k1, 1
+        np.testing.assert_array_equal(
+            flat[:, b * 64 + half * 32 + k2], mel_w[:, k]
+        )
+    # every filterbank column appears exactly once (permutation, no loss)
+    np.testing.assert_allclose(
+        flat.sum(axis=1), mel_w[:, :1024].sum(axis=1), rtol=1e-6
+    )
 
 
 def test_short_clip_single_tile(cfg, mel_w):
