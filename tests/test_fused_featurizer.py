@@ -14,7 +14,12 @@ from audio_training_tpu.ops.features import build_mel_weights
 from audio_training_tpu.ops.fftmel import MatmulMelPlan
 from audio_training_tpu.ops.pcen import pcen as pcen_ref
 from audio_training_tpu.ops.pallas.fused_featurizer import (
+    HB,
+    K2C,
+    R1,
+    R2,
     FusedFeaturizer,
+    _dft_constants,
     pack_mel_flat,
 )
 
@@ -70,6 +75,41 @@ def test_pcen_custom_params(cfg, mel_w, raw):
                          precision="highest", **kw)
     out = np.asarray(fz(raw, pcen=True, interpret=True))
     assert np.abs(out - ref).max() < 1e-4
+
+
+def test_conj_operators_match_npfft(mel_w):
+    """The conjugate-folded two-stage operators reproduce np.fft bin
+    powers and the packed mel product, in pure numpy (anchors the fold's
+    math independent of the fftmel oracle)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(R1 * R2)
+    consts = _dft_constants(281)
+    planes = consts["d1ri"].astype(np.float64) @ x.reshape(R1, R2)
+    e_re = consts["e_re"].astype(np.float64)
+    e_im = consts["e_im"].astype(np.float64)
+    xri = np.stack([
+        e_re[b] @ planes[b] + e_im[b] @ planes[HB + b] for b in range(HB)
+    ])
+    power = np.concatenate([
+        xri[:, :K2C] ** 2 + xri[:, K2C : 2 * K2C] ** 2,
+        xri[:, 2 * K2C : 3 * K2C] ** 2 + xri[:, 3 * K2C :] ** 2,
+    ], axis=1).reshape(HB * 2 * K2C)
+    truth = np.abs(np.fft.fft(x)[: R1 * K2C]) ** 2
+    # bin k = k1 + 32*k2 at flat b*64 + half*32 + k2 (pack_mel_flat order)
+    got = np.zeros_like(truth)
+    for b in range(HB):
+        for half in range(2):
+            k1 = b if half == 0 else (HB if b == 0 else R1 - b)
+            for k2 in range(K2C):
+                got[k1 + R1 * k2] = power[b * 2 * K2C + half * K2C + k2]
+    np.testing.assert_allclose(got, truth, rtol=2e-4, atol=1e-7)
+    # the production filterbank's support ends below bin 1024 (checked at
+    # FusedFeaturizer init), so truncating the bin axis loses nothing
+    np.testing.assert_allclose(
+        pack_mel_flat(mel_w).astype(np.float64) @ power,
+        mel_w[:, : truth.size] @ truth,
+        rtol=1e-5,
+    )
 
 
 def test_pack_mel_flat_layout(mel_w):
