@@ -162,18 +162,23 @@ def _dft_constants(hop: int) -> dict[str, np.ndarray]:
     e_re = np.zeros((HB, 4 * K2C, R2), np.float64)  # coeff of P1 = planes[b]
     e_im = np.zeros((HB, 4 * K2C, R2), np.float64)  # coeff of P2 = planes[16+b]
     zero = np.zeros((K2C, R2))
+    # Output-row block order is [re X(b); re X(pair); im X(b); im X(pair)]
+    # (re components in the top half, im in the bottom) so the kernel's
+    # power pass is ONE aligned add of the two contiguous halves of the
+    # squared output — no sublane concatenate — landing directly in
+    # pack_mel_flat's (b, half, k2) order.
     for b in range(HB):
         if b == 0:
             # P1[0] = a_re[0] -> X[32 k2]; P2[0] = a_re[16] -> X[16 + 32 k2]
-            e_re[0] = np.concatenate([ct[0].real, ct[0].imag, zero, zero])
-            e_im[0] = np.concatenate([zero, zero, ct[HB].real, ct[HB].imag])
+            e_re[0] = np.concatenate([ct[0].real, zero, ct[0].imag, zero])
+            e_im[0] = np.concatenate([zero, ct[HB].real, zero, ct[HB].imag])
         else:
             kc = R1 - b  # the conjugate partner: a_re[kc] = a_re[b],
             # a_im[kc] = -a_im[b]
             e_re[b] = np.concatenate(
-                [ct[b].real, ct[b].imag, ct[kc].real, ct[kc].imag])
+                [ct[b].real, ct[kc].real, ct[b].imag, ct[kc].imag])
             e_im[b] = np.concatenate(
-                [-ct[b].imag, ct[b].real, ct[kc].imag, -ct[kc].real])
+                [-ct[b].imag, ct[kc].imag, ct[b].real, -ct[kc].real])
     e_re = e_re.astype(np.float32)
     e_im = e_im.astype(np.float32)
     win = hann_window(N_FFT)[None, :]  # (1, n_fft)
@@ -409,15 +414,15 @@ def _featurizer_kernel(
                 e_re_op, a[:HB], dn, precision
             ) + _dot(
                 e_im_op, a[HB:], dn, precision
-            )  # (b, 4*K2C, F): [re X(b); im X(b); re X(pair); im X(pair)]
+            )  # (b, 4*K2C, F): [re X(b); re X(pair); im X(b); im X(pair)]
 
             # ---- power + mel ---------------------------------------------
-            power = jnp.concatenate([
-                x_ri[:, :K2C, :] * x_ri[:, :K2C, :]
-                + x_ri[:, K2C : 2 * K2C, :] * x_ri[:, K2C : 2 * K2C, :],
-                x_ri[:, 2 * K2C : 3 * K2C, :] * x_ri[:, 2 * K2C : 3 * K2C, :]
-                + x_ri[:, 3 * K2C :, :] * x_ri[:, 3 * K2C :, :],
-            ], axis=1)  # (b, 2*K2C, F) in pack_mel_flat's (b, half, k2) order
+            # re parts fill the top half of the stage-2 output rows and im
+            # parts the bottom (operator row order, _dft_constants), so
+            # |X|^2 is one aligned half-add — no sublane concatenate —
+            # already in pack_mel_flat's (b, half, k2) order.
+            sq = x_ri * x_ri
+            power = sq[:, : 2 * K2C, :] + sq[:, 2 * K2C :, :]
             mel = _dot(
                 melw_op, power.reshape(R1 * K2C, tile),
                 (((1,), (0,)), ((), ())), precision,

@@ -90,10 +90,10 @@ def test_conj_operators_match_npfft(mel_w):
     xri = np.stack([
         e_re[b] @ planes[b] + e_im[b] @ planes[HB + b] for b in range(HB)
     ])
-    power = np.concatenate([
-        xri[:, :K2C] ** 2 + xri[:, K2C : 2 * K2C] ** 2,
-        xri[:, 2 * K2C : 3 * K2C] ** 2 + xri[:, 3 * K2C :] ** 2,
-    ], axis=1).reshape(HB * 2 * K2C)
+    # rows = [re X(b); re X(pair); im X(b); im X(pair)]: power is one
+    # half-add of the squared rows (the kernel's concat-free layout)
+    sq = xri**2
+    power = (sq[:, : 2 * K2C] + sq[:, 2 * K2C :]).reshape(HB * 2 * K2C)
     truth = np.abs(np.fft.fft(x)[: R1 * K2C]) ** 2
     # bin k = k1 + 32*k2 at flat b*64 + half*32 + k2 (pack_mel_flat order)
     got = np.zeros_like(truth)
