@@ -14,6 +14,7 @@ from audio_training_tpu.eval.thresholds import (
     apply_thresholds,
     best_thresholds,
     combine_pre_model,
+    reference_shipped_thresholds,
 )
 from audio_training_tpu.eval.weak import WeakEvalResult, evaluate_weakly_labelled_dir
 
@@ -31,6 +32,7 @@ __all__ = [
     "CompareResult",
     "best_thresholds",
     "apply_thresholds",
+    "reference_shipped_thresholds",
     "combine_pre_model",
     "evaluate_weakly_labelled_dir",
     "WeakEvalResult",

@@ -64,6 +64,37 @@ def combine_pre_model(
     return out
 
 
+# The reference's SHIPPED per-class threshold table for its production
+# 67-label species model + 6-label pre (bird/human/noise gate) model
+# (preeval.py:143-221), stored there in percent.  The labels are positional
+# — preeval.py reads them from the paired stats .npy at runtime — so the
+# table is model-specific data; it is shipped here verbatim so a migrating
+# user keeps the production operating points.
+_REFERENCE_SHIPPED_THRESHOLDS_PCT = (
+    0.8, 90.4, 0.0, 0.0, 62.1, 0.0, 87.7, 1.1, 30.7, 0.0, 0.0, 0.0, 30.5,
+    0.0, 93.6, 70.2, 2.0, 30.9, 77.7, 0.0, 8.6, 72.4, 3.0, 89.3, 55.0, 0.0,
+    75.7, 1.3, 0.0, 14.5, 87.8, 19.6, 0.0, 37.5, 0.0, 0.0, 89.7, 35.3, 0.0,
+    3.8, 24.2, 0.4, 0.0, 0.2, 0.0, 0.1, 22.5, 83.0, 2.2, 32.7, 96.8, 0.0,
+    49.6, 0.0, 0.0, 99.9, 29.6, 0.0, 18.8, 0.0, 0.0, 0.0, 30.8, 8.6, 0.0,
+    0.0, 0.0,
+)
+_REFERENCE_SHIPPED_PRE_THRESHOLDS_PCT = (0.0, 61.3, 16.2, 92.2, 72.7, 0.0)
+
+
+def reference_shipped_thresholds(
+    clip_min: float = 0.5, clip_max: float = 0.9
+) -> tuple[np.ndarray, np.ndarray]:
+    """(species_thresholds, pre_model_thresholds) as the reference applies
+    them: percent -> fraction, clipped to [0.5, 0.9]
+    (preeval.py:209-221)."""
+    species = np.asarray(_REFERENCE_SHIPPED_THRESHOLDS_PCT) / 100.0
+    pre = np.asarray(_REFERENCE_SHIPPED_PRE_THRESHOLDS_PCT) / 100.0
+    return (
+        np.clip(species, clip_min, clip_max),
+        np.clip(pre, clip_min, clip_max),
+    )
+
+
 def apply_thresholds(
     y_pred: np.ndarray, labels: list[str], thresholds: dict[str, float],
     default: float = 0.7,

@@ -87,6 +87,21 @@ def test_best_thresholds():
     assert acc > 0.9
 
 
+def test_reference_shipped_thresholds():
+    # preeval.py:143-221: 67 species thresholds + 6 pre-model thresholds,
+    # percent -> fraction, clipped into [0.5, 0.9]
+    from audio_training_tpu.eval import reference_shipped_thresholds
+
+    species, pre = reference_shipped_thresholds()
+    assert species.shape == (67,) and pre.shape == (6,)
+    assert species.min() >= 0.5 and species.max() <= 0.9
+    assert pre.min() >= 0.5 and pre.max() <= 0.9
+    # spot values straight from the reference table: 90.4% -> 0.9 clip,
+    # 62.1% -> 0.621, 0.0% -> 0.5 clip
+    np.testing.assert_allclose(species[[1, 4, 2]], [0.9, 0.621, 0.5])
+    np.testing.assert_allclose(pre[1], 0.613)
+
+
 def test_combine_pre_model_gates_species():
     species = np.array([[0.9, 0.8], [0.9, 0.8]])
     pre = np.array([[0.1, 0.0, 0.9], [0.9, 0.0, 0.05]])  # bird,human,noise
