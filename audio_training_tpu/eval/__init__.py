@@ -15,6 +15,7 @@ from audio_training_tpu.eval.thresholds import (
     best_thresholds,
     combine_pre_model,
     reference_shipped_thresholds,
+    reference_shipped_thresholds_dict,
 )
 from audio_training_tpu.eval.weak import WeakEvalResult, evaluate_weakly_labelled_dir
 
@@ -33,6 +34,7 @@ __all__ = [
     "best_thresholds",
     "apply_thresholds",
     "reference_shipped_thresholds",
+    "reference_shipped_thresholds_dict",
     "combine_pre_model",
     "evaluate_weakly_labelled_dir",
     "WeakEvalResult",

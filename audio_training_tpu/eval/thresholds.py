@@ -95,6 +95,38 @@ def reference_shipped_thresholds(
     )
 
 
+def reference_shipped_thresholds_dict(
+    labels: list[str],
+    pre_labels: list[str] | None = None,
+    clip_min: float = 0.5,
+    clip_max: float = 0.9,
+) -> tuple[dict[str, float], dict[str, float] | None]:
+    """The shipped table keyed by label, ready for ``apply_thresholds``.
+
+    The reference stores the table positionally (preeval.py:143-221 reads
+    the label order from the paired stats .npy at runtime), so the caller
+    supplies the production model's label list; lengths are checked against
+    the 67-entry species table (and the 6-entry pre table when
+    ``pre_labels`` is given)."""
+    species, pre = reference_shipped_thresholds(clip_min, clip_max)
+    if len(labels) != len(species):
+        raise ValueError(
+            f"the shipped species table has {len(species)} entries; got "
+            f"{len(labels)} labels — it is positional data for the "
+            "production 67-label model only"
+        )
+    species_d = {l: float(t) for l, t in zip(labels, species)}
+    pre_d = None
+    if pre_labels is not None:
+        if len(pre_labels) != len(pre):
+            raise ValueError(
+                f"the shipped pre-model table has {len(pre)} entries; got "
+                f"{len(pre_labels)} labels"
+            )
+        pre_d = {l: float(t) for l, t in zip(pre_labels, pre)}
+    return species_d, pre_d
+
+
 def apply_thresholds(
     y_pred: np.ndarray, labels: list[str], thresholds: dict[str, float],
     default: float = 0.7,

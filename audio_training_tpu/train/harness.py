@@ -794,13 +794,15 @@ def train_run(
 
     hist_path = run_dir / "weight-hists.jsonl"
 
-    def hist_writer(epoch, logs, st):
+    def hist_writer(epoch, logs, st, tb=None):
         # per-epoch weight-histogram artifacts for the trainable frontend
         # weights the reference streams to TensorBoard (MagTransform/PCEN
         # a-power, audiomodel.log_hist_weights, audiomodel.py:2583-2592):
         # scalar frontends record their values, larger weights a real
         # (counts, bin-edges) histogram.  Appended per epoch — watchable
-        # mid-run, like run_dir/training-log.csv.
+        # mid-run, like run_dir/training-log.csv — and, when the fit loop
+        # passes its TensorBoard event writer, streamed into the standard
+        # events.out.tfevents.* file too.
         import json as _json
 
         entries = {}
@@ -825,6 +827,17 @@ def train_run(
         jax.tree_util.tree_map_with_path(visit, st.params)
         with hist_path.open("a") as f:
             f.write(_json.dumps({"epoch": epoch, **entries}) + "\n")
+        if tb is not None:
+            for name, entry in entries.items():
+                if isinstance(entry, dict):
+                    tb.add_histogram_counts(
+                        f"weights/{name}", entry["counts"], entry["edges"],
+                        epoch,
+                    )
+                elif len(entry) == 1:
+                    tb.add_scalar(f"weights/{name}", entry[0], epoch)
+                else:
+                    tb.add_histogram_values(f"weights/{name}", entry, epoch)
 
     result = fit(
         state,

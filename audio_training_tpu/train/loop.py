@@ -74,10 +74,12 @@ class ReduceLROnPlateau:
 
 
 def _write_epoch_confusion(out_dir: Path, epoch: int, y_true, y_pred,
-                           labels: list[str], multi_label: bool) -> None:
+                           labels: list[str], multi_label: bool) -> Path:
     """Per-epoch validation confusion artifact (npy + PNG), the equivalent
     of the reference's TensorBoard confusion image callback
-    (audiomodel.log_confusion_matrix, audiomodel.py:1262-1314)."""
+    (audiomodel.log_confusion_matrix, audiomodel.py:1262-1314).  Returns the
+    artifact base path (suffix-less) so the caller can stream the PNG into
+    the TensorBoard event file too."""
     from audio_training_tpu.eval.confusion import (
         multi_label_confusion,
         save_confusion,
@@ -88,7 +90,9 @@ def _write_epoch_confusion(out_dir: Path, epoch: int, y_true, y_pred,
         cm, _, out_labels = multi_label_confusion(y_true, y_pred, labels)
     else:
         cm, out_labels = single_label_confusion(y_true, y_pred, labels)
-    save_confusion(cm, out_labels, out_dir / f"epoch_{epoch:03d}")
+    base = out_dir / f"epoch_{epoch:03d}"
+    save_confusion(cm, out_labels, base)
+    return base
 
 
 class ScalarLog:
@@ -188,6 +192,16 @@ def fit(
         ScalarLog(Path(run_dir) / "training-log.csv")
         if run_dir is not None else None
     )
+    # Standard-dashboard event stream: the same per-epoch scalars (and the
+    # confusion images / weight histograms below) also land in an
+    # events.out.tfevents.* file in run_dir, written by the TF-free codec
+    # (utils/tensorboard.py) — ``tensorboard --logdir`` watches the run
+    # live, matching the reference's callback stream (audiomodel.py:553-558).
+    tb = None
+    if run_dir is not None:
+        from audio_training_tpu.utils.tensorboard import TBEventWriter
+
+        tb = TBEventWriter(run_dir)
     history: dict[str, list] = {}
     key = jax.random.PRNGKey(seed)
 
@@ -242,12 +256,15 @@ def fit(
             for k, v in metrics_compute(vmetrics).items():
                 logs[f"val_{k}"] = v
             if collect and y_true_parts:
-                _write_epoch_confusion(
+                base = _write_epoch_confusion(
                     Path(run_dir) / "epoch-confusion", epoch,
                     np.concatenate(y_true_parts),
                     np.concatenate(y_pred_parts),
                     confusion_labels, multi_label,
                 )
+                png = base.with_suffix(".png")
+                if tb is not None and png.exists():
+                    tb.add_image("epoch_confusion", png.read_bytes(), epoch)
 
         logs["lr"] = state.current_lr()
         logs["epoch_time"] = time.time() - t0
@@ -262,8 +279,10 @@ def fit(
         )
         if scalar_log is not None:
             scalar_log.append(epoch, logs)
+        if tb is not None:
+            tb.add_scalars(logs, epoch)
         if hist_writer is not None:
-            hist_writer(epoch, logs, state)
+            hist_writer(epoch, logs, state, tb)
 
         # failure detection: a non-finite train loss means this epoch's
         # updates are poison — roll back to the last good per-epoch
@@ -305,6 +324,8 @@ def fit(
             log.warning("no training batches; stopping")
             break
 
+    if tb is not None:
+        tb.close()
     if run_dir is not None:
         (Path(run_dir) / "history.json").write_text(
             json.dumps(history, indent=2, default=float)

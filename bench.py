@@ -84,6 +84,75 @@ def _measure(run, raw, batch, seconds_per_clip):
     return clips_per_s * seconds_per_clip
 
 
+TRAIN_BATCH = 128
+TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "8"))
+# fwd + dgrad + wgrad ~= 3x the forward's 13.25 GFLOP/clip
+# (docs/PERFORMANCE.md ceiling math + round 3c-train)
+TRAIN_FLOPS_PER_SAMPLE = 3 * 13.25e9
+
+
+def _bench_train_step(cfg, num_labels):
+    """Production-geometry training throughput: ONE jit chaining
+    TRAIN_ITERS full steps (mixup preprocess -> badwinner2 fwd/bwd ->
+    Adam) via lax.scan; per-step fold_in keys make every iteration's
+    mixup distinct (CSE/relay-cache defeat), and the carried state/metrics
+    are inherently step-dependent.  Returns (samples/s, achieved TFLOP/s).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_training_tpu.data.preprocess import make_preprocess_fn
+    from audio_training_tpu.models import build_model
+    from audio_training_tpu.train import (
+        create_train_state,
+        fresh_metrics,
+        make_train_step,
+    )
+
+    spec = build_model("badwinner2", num_labels=num_labels,
+                       logits_only=True, dtype=jnp.bfloat16)
+    pre = make_preprocess_fn(cfg, augment=True)
+    rng = np.random.default_rng(3)
+    raw = jnp.asarray(rng.standard_normal(
+        (TRAIN_BATCH, cfg.samples_per_clip)).astype(np.float32))
+    raw2 = jnp.asarray(rng.standard_normal(
+        (TRAIN_BATCH, cfg.samples_per_clip)).astype(np.float32))
+    y = jnp.asarray(np.eye(num_labels, dtype=np.float32)[
+        rng.integers(0, num_labels, TRAIN_BATCH)])
+    y2 = jnp.asarray(np.eye(num_labels, dtype=np.float32)[
+        rng.integers(0, num_labels, TRAIN_BATCH)])
+
+    mel0, _ = pre(raw[:1], y[:1], raw2[:1], y2[:1], jax.random.PRNGKey(0))
+    state0 = create_train_state(spec.module, (mel0,), learning_rate=1e-3)
+    step = make_train_step(loss_name="bce", donate=False)
+
+    @jax.jit
+    def chain(state, metrics, raw, y, raw2, y2):
+        def body(carry, i):
+            st, m = carry
+            kpre = jax.random.fold_in(jax.random.PRNGKey(11), i)
+            kdrop = jax.random.fold_in(jax.random.PRNGKey(13), i)
+            mel, yy = pre(raw, y, raw2, y2, kpre)
+            st, m = step(st, m, mel, yy, kdrop)
+            return (st, m), m["loss_sum"]
+        (state, metrics), losses = jax.lax.scan(
+            body, (state, metrics), jnp.arange(TRAIN_ITERS)
+        )
+        return losses.sum()
+
+    def run(_):
+        return chain(state0, fresh_metrics(), raw, y, raw2, y2)
+
+    float(run(None))  # compile + warm
+    dt = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(run(None))
+        dt = min(dt, time.perf_counter() - t0)
+    samples_s = TRAIN_BATCH * TRAIN_ITERS / dt
+    return samples_s, samples_s * TRAIN_FLOPS_PER_SAMPLE / 1e12
+
+
 def main() -> None:
     import jax
 
@@ -158,36 +227,72 @@ def main() -> None:
         # single-chip context (docs/PERFORMANCE.md ceiling math): the CNN
         # alone needs 13.25 GFLOP/clip -> 17.2 ms/batch-256 at v5e nominal
         # bf16 peak vs a 15.36 ms budget, so 50k is FLOP-infeasible on one
-        # chip; the batch dim shards linearly over the data mesh axis
-        # (dryrun-verified, __graft_entry__.dryrun_multichip), so this many
-        # chips clear the target:
-        "dp_chips_for_50k": int(np.ceil(TARGET / bw_audio_s)),
+        # chip.  The chip count below EXTRAPOLATES linear DP scaling from
+        # single-chip throughput: the virtual-mesh dryrun proves the DP
+        # step is correct (DP logits == single-device) and the compiled-HLO
+        # audit (tests/test_train.py::test_dp_train_step_hlo_collectives,
+        # parallel/hlo_audit.py) proves the only cross-device traffic is
+        # batch-independent — but it remains a MODEL until measured on
+        # real multi-chip hardware (none is attached here):
+        "dp_chips_for_50k_extrapolated": int(np.ceil(TARGET / bw_audio_s)),
     }), flush=True)
+
+    # ---- train-step throughput (BASELINE configs 2-3 are training
+    # configs): full jit step = mixup preprocess + badwinner2 fwd/bwd +
+    # Adam at production geometry, scan-chained with per-step rng keys
+    # (each step's mixup lambda/pairing differs, defeating CSE and the
+    # relay cache).  FLOP model: fwd+dgrad+wgrad ~= 3x the 13.25
+    # GFLOP/clip forward (docs/PERFORMANCE.md round 3c-train method).
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") == "0":
+        train_samples_s, train_tflops = _bench_train_step(cfg, num_labels)
+        print(json.dumps({
+            "metric": "train samples/sec/chip (mixup preprocess + "
+                      "badwinner2 fwd/bwd + adam, B=128)",
+            "value": round(train_samples_s, 1),
+            "unit": "samples/s/chip",
+            # as audio-seconds trained per second against the same 50k
+            # north star (the baseline publishes no training number;
+            # BASELINE.md "published": {})
+            "vs_baseline": round(
+                train_samples_s * cfg.segment_length / TARGET, 4
+            ),
+            "achieved_tflops": round(train_tflops, 1),
+        }), flush=True)
 
     # ---- chain 2 (official): waveform -> mel -> PCEN -> backbone logits --
     backbone = os.environ.get("BENCH_PCEN_BACKBONE", "mobilenet")
-    eff_spec = build_model(
-        backbone, num_labels=num_labels, logits_only=True,
-        external_frontend=True, dtype=jnp.bfloat16,
-    )
-    mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 3), jnp.float32)
-    eff_vars = eff_spec.module.init(
-        {"params": jax.random.PRNGKey(1)}, mel0, train=False
-    )
     # Exact-math serving fold (models.fold_gray_stem, parity-tested): the
     # mel image is channel-identical (tfdataset.py:175-180 tf.repeat), so
     # conv(repeat(x,3), W) == conv(x, W.sum(axis=2)).  Measured NEUTRAL on
     # this chip (22,783 folded vs 23,175 unfolded — XLA fuses the repeat
     # broadcast into the stem conv read, so the 3x image is never
     # materialized); default off, BENCH_FOLD_GRAY=1 enables.
-    folded = os.environ.get("BENCH_FOLD_GRAY", "0") != "0"
-    if folded:
-        try:
-            eff_vars = fold_gray_stem(eff_spec, eff_vars)
-        except ValueError:
-            folded = False  # per-channel-preprocessing backbone
+    want_fold = os.environ.get("BENCH_FOLD_GRAY", "0") != "0"
 
-    def make_full_pcen(featurizer):
+    def build_backbone(name):
+        spec_ = build_model(
+            name, num_labels=num_labels, logits_only=True,
+            external_frontend=True, dtype=jnp.bfloat16,
+        )
+        mel0 = jnp.zeros((1, cfg.n_mels, cfg.mel_frames, 3), jnp.float32)
+        vars_ = spec_.module.init(
+            {"params": jax.random.PRNGKey(1)}, mel0, train=False
+        )
+        folded_ = want_fold
+        if folded_:
+            try:
+                vars_ = fold_gray_stem(spec_, vars_)
+            except ValueError:
+                folded_ = False  # per-channel-preprocessing backbone
+        return spec_, vars_, folded_
+
+    eff_spec, eff_vars, folded = build_backbone(backbone)
+
+    def make_full_pcen(featurizer, spec_=None, vars_=None, folded_=None):
+        spec_ = eff_spec if spec_ is None else spec_
+        vars_ = eff_vars if vars_ is None else vars_
+        folded_ = folded if folded_ is None else folded_
+
         def full_pcen(r, salt):
             # waveform -> mel -> PCEN.  The per-step salt (an SMEM param of
             # the opaque Pallas call) defeats XLA loop hoisting/CSE and the
@@ -199,9 +304,9 @@ def main() -> None:
             # row-major.
             img = featurizer(r, pcen=True, step_salt=salt,
                              out_dtype=jnp.bfloat16)[..., None]
-            if not folded:
+            if not folded_:
                 img = jnp.repeat(img, 3, axis=-1)  # raw_to_mel 3-ch repeat
-            return eff_spec.module.apply(eff_vars, img, train=False)
+            return spec_.module.apply(vars_, img, train=False)
         return full_pcen
 
     # Row-major clip view (B, L//128, 128): the serving fast path — the
@@ -247,16 +352,53 @@ def main() -> None:
             "vs_baseline": round(exact_audio_s / TARGET, 4),
         }), flush=True)
 
+    # ---- companion: the reference's own DEFAULT backbone + zoo sweep ----
+    # The reference trains efficientnetv2b3 by default (--model-name
+    # default, audiomodel.py:2338-2342); the official line uses the
+    # measured-fastest zoo backbone, so the reference-default path is
+    # measured and recorded every run to keep that choice auditable.
+    # BENCH_SWEEP_NAMES widens the live sweep (comma list of zoo names;
+    # the full table lives in SWEEP_r05.json / docs/PERFORMANCE.md).
+    sweep_names = [
+        n for n in os.environ.get(
+            "BENCH_SWEEP_NAMES", "efficientnetv2b3"
+        ).split(",") if n and n != backbone
+    ]
+    sweep: dict[str, float] = {}
+    for name in sweep_names:
+        spec_n, vars_n, folded_n = build_backbone(name)
+        audio_s = _measure(
+            scan_chain_salt(make_full_pcen(fz, spec_n, vars_n, folded_n)),
+            raw_pcen, BATCH_PCEN, cfg.segment_length,
+        )
+        sweep[name] = round(audio_s, 1)
+        print(json.dumps({
+            "metric": "audio-seconds/sec/chip (mel+PCEN+CNN infer; "
+                      f"{name}"
+                      + ("; reference default backbone, "
+                         "audiomodel.py:2338-2342"
+                         if name == "efficientnetv2b3" else ""),
+            "value": round(audio_s, 1),
+            "unit": "audio_s/s/chip",
+            "vs_baseline": round(audio_s / TARGET, 4),
+            "featurizer_tier": precision,
+        }), flush=True)
+
     pcen_audio_s = _measure(
         scan_chain_salt(make_full_pcen(fz)), raw_pcen, BATCH_PCEN,
         cfg.segment_length,
     )
+    sweep[backbone] = round(pcen_audio_s, 1)
     print(json.dumps({
         "metric": f"audio-seconds/sec/chip (mel+PCEN+CNN infer; {backbone})",
         "value": round(pcen_audio_s, 1),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(pcen_audio_s / TARGET, 4),
         "featurizer_tier": precision,
+        # the live-measured backbone table this run (the official backbone
+        # is the fastest of the measured zoo; full sweep incl. the round-5
+        # wider table: SWEEP_r05.json / docs/PERFORMANCE.md)
+        "backbone_sweep_audio_s": sweep,
     }), flush=True)
 
 

@@ -773,3 +773,113 @@ def test_plot_mel_and_signals(tmp_path):
     p3 = tmp_path / "wave.png"
     plot_waveform(rng.standard_normal(480).astype(np.float32), 480, p3)
     assert p3.stat().st_size > 0
+
+
+# ---------------------------------------------------------------------------
+# TensorBoard event files (TF-free writer, utils/tensorboard.py)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_png():
+    # minimal real PNG via matplotlib (the same producer as the confusion
+    # images the fit loop streams)
+    import io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(1, 1))
+    ax.imshow(np.arange(4).reshape(2, 2))
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png")
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def test_tb_event_file_roundtrip(tmp_path):
+    """Write scalars/histogram/image; parse back with our own reader."""
+    from audio_training_tpu.utils.tensorboard import (
+        TBEventWriter,
+        png_dimensions,
+        read_events,
+    )
+
+    png = _tiny_png()
+    with TBEventWriter(tmp_path) as tb:
+        tb.add_scalar("loss", 0.5, 0)
+        tb.add_scalars({"loss": 0.25, "val_loss": 0.5, "skipme": "str"}, 1)
+        tb.add_histogram_counts("weights/w", [1, 2, 3], [0.0, 1.0, 2.0, 3.0],
+                                step=1)
+        tb.add_histogram_values("weights/v", np.arange(100.0), step=1)
+        tb.add_image("confusion", png, step=1)
+        path = tb.path
+
+    events = read_events(path)
+    assert events[0]["file_version"] == "brain.Event:2"
+    scalars = {
+        (e["step"], t): v
+        for e in events for t, v in e.get("scalars", {}).items()
+    }
+    assert scalars[(0, "loss")] == 0.5
+    assert scalars[(1, "loss")] == 0.25
+    assert scalars[(1, "val_loss")] == 0.5
+    assert (1, "skipme") not in scalars  # non-float dropped
+    histos = {
+        t: h for e in events for t, h in e.get("histos", {}).items()
+    }
+    assert histos["weights/w"]["num"] == 6.0
+    assert histos["weights/w"]["bucket"] == [1.0, 2.0, 3.0]
+    assert histos["weights/w"]["bucket_limit"] == [1.0, 2.0, 3.0]
+    assert histos["weights/v"]["num"] == 100.0
+    images = {
+        t: i for e in events for t, i in e.get("images", {}).items()
+    }
+    img = images["confusion/image"]
+    assert img["png"] == png
+    assert (img["height"], img["width"]) == png_dimensions(png)
+
+
+def test_tb_event_file_reads_back_through_real_tensorboard(tmp_path):
+    """Oracle: the actual tensorboard package (bundled, TF-free loader)
+    parses our event file — the wire format is the real one, not just
+    self-consistent."""
+    from tensorboard.backend.event_processing.event_file_loader import (
+        RawEventFileLoader,
+    )
+    from tensorboard.compat.proto import event_pb2
+
+    from audio_training_tpu.utils.tensorboard import TBEventWriter
+
+    png = _tiny_png()
+    with TBEventWriter(tmp_path) as tb:
+        tb.add_scalars({"loss": 0.125, "acc": 0.75}, 3)
+        tb.add_histogram_counts("w", [4, 5], [0.0, 0.5, 1.0], step=3)
+        tb.add_image("cm", png, step=3)
+        path = tb.path
+
+    events = [
+        event_pb2.Event.FromString(raw)
+        for raw in RawEventFileLoader(str(path)).Load()
+    ]
+    assert events[0].file_version == "brain.Event:2"
+    scalars = {
+        v.tag: v.simple_value
+        for e in events for v in e.summary.value
+        if v.HasField("simple_value")
+    }
+    assert scalars == {"loss": 0.125, "acc": 0.75}
+    assert all(e.step == 3 for e in events[1:])
+    histos = {
+        v.tag: v.histo for e in events for v in e.summary.value
+        if v.HasField("histo")
+    }
+    assert histos["w"].num == 9.0
+    assert list(histos["w"].bucket) == [4.0, 5.0]
+    assert list(histos["w"].bucket_limit) == [0.5, 1.0]
+    images = {
+        v.tag: v.image for e in events for v in e.summary.value
+        if v.HasField("image")
+    }
+    assert images["cm/image"].encoded_image_string == png

@@ -102,6 +102,30 @@ def test_reference_shipped_thresholds():
     np.testing.assert_allclose(pre[1], 0.613)
 
 
+def test_reference_shipped_thresholds_dict():
+    # the label-keyed view feeds apply_thresholds directly; lengths are
+    # checked against the positional 67/6-entry production tables
+    from audio_training_tpu.eval import (
+        apply_thresholds,
+        reference_shipped_thresholds,
+        reference_shipped_thresholds_dict,
+    )
+
+    labels = [f"sp{i}" for i in range(67)]
+    pre_labels = [f"pre{i}" for i in range(6)]
+    species_d, pre_d = reference_shipped_thresholds_dict(labels, pre_labels)
+    species, pre = reference_shipped_thresholds()
+    assert [species_d[l] for l in labels] == list(species)
+    assert [pre_d[l] for l in pre_labels] == list(pre)
+    y_pred = np.tile(species, (3, 1)).astype(np.float32)
+    decisions = apply_thresholds(y_pred, labels, species_d)
+    assert decisions.all()  # >= threshold everywhere by construction
+    with pytest.raises(ValueError):
+        reference_shipped_thresholds_dict(labels[:-1])
+    with pytest.raises(ValueError):
+        reference_shipped_thresholds_dict(labels, pre_labels[:-1])
+
+
 def test_combine_pre_model_gates_species():
     species = np.array([[0.9, 0.8], [0.9, 0.8]])
     pre = np.array([[0.1, 0.0, 0.9], [0.9, 0.0, 0.05]])  # bird,human,noise

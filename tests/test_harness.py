@@ -210,15 +210,22 @@ def test_train_run_cnn_features_model(tmp_path):
     assert (result.run_dir / "chkpt").exists()
 
 
-def _rf_backends():
+@pytest.mark.slow
+# Parametrized over BOTH backends unconditionally so the test report names
+# what actually ran: when ydf is not importable the ydf case shows up as an
+# explicit skip-with-reason instead of silently vanishing from the matrix
+# (the reference's learner is ydf, audiomodel.py:766-769; sklearn is the
+# fallback adapter).
+@pytest.mark.parametrize("backend", ["ydf", "sklearn"])
+def test_train_random_forest(tmp_path, backend):
     from audio_training_tpu.models.registry import rf_backends
 
-    return rf_backends()
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize("backend", _rf_backends())
-def test_train_random_forest(tmp_path, backend):
+    if backend not in rf_backends():
+        pytest.skip(
+            f"rf backend {backend!r} not importable in this environment "
+            f"(available: {rf_backends()}) — the reference's ydf learner "
+            "path is untested here"
+        )
     """rf-features: random forest over flattened hand-crafted features
     (audiomodel.py:766-769 + tf_to_ydf), on whichever backends this
     environment provides (ydf when importable — the reference's learner —

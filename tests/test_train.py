@@ -204,6 +204,21 @@ def test_fit_end_to_end_slice(tmp_path):
     assert hist["loss"][-1] < hist["loss"][0]
     assert (tmp_path / "run" / "val-loss").exists()
     assert (tmp_path / "run" / "chkpt").exists()
+    # the fit loop streams the same per-epoch scalars to a standard
+    # TensorBoard event file (the reference's callback stream,
+    # audiomodel.py:553-558) via the TF-free writer
+    from audio_training_tpu.utils.tensorboard import read_events
+
+    event_files = list((tmp_path / "run").glob("events.out.tfevents.*"))
+    assert len(event_files) == 1
+    scalars = {
+        (e["step"], t): v
+        for e in read_events(event_files[0])
+        for t, v in e.get("scalars", {}).items()
+    }
+    for epoch, loss in enumerate(hist["loss"]):
+        np.testing.assert_allclose(scalars[(epoch, "loss")], loss, rtol=1e-6)
+    assert (result.epochs_run - 1, "val_loss") in scalars
     # reload best and predict
     state2 = create_train_state(spec.module, (jnp.asarray(mel),), seed=5)
     state2 = restore_into(state2, tmp_path / "run" / "val-loss")
@@ -271,6 +286,50 @@ def test_dp_matches_single_device():
     l1 = jax.tree_util.tree_leaves(s1.params)[0]
     l8 = jax.tree_util.tree_leaves(s8.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), atol=1e-5)
+
+
+def test_dp_train_step_hlo_collectives():
+    """HLO-level DP-scaling evidence (SURVEY §2.2): the compiled 8-device
+    step's cross-device traffic is exactly the per-step-constant set —
+    gradient/metric/BN-stat all-reduces, nothing activation-sized, no
+    all-gather — which is the premise behind extrapolating linear DP
+    scaling in the bench artifact."""
+    from audio_training_tpu.parallel.hlo_audit import audit_dp_train_step
+
+    mesh = make_mesh(num_data=8)
+    spec, mel, y = _tiny_model_and_data(batch=16)
+    state = create_train_state(spec.module, (jnp.asarray(mel[:1]),),
+                               learning_rate=1e-3)
+    state = jax.device_put(state, replicated(mesh))
+    mel_s, y_s = shard_batch(mesh, mel, y)
+    step = make_train_step(loss_name="bce", donate=False)
+    hlo = step.lower(
+        state, fresh_metrics(), mel_s, y_s, jax.random.PRNGKey(0)
+    ).compile().as_text()
+    n_params = param_count(state)
+    n_bn = sum(
+        int(np.prod(np.shape(l)))
+        for l in jax.tree_util.tree_leaves(state.batch_stats)
+    )
+    inv = audit_dp_train_step(hlo, n_params, n_bn)
+    assert inv.count("all-reduce") >= 1
+
+
+def test_dp_inference_hlo_collectives():
+    """The mesh-sharded forward pass is embarrassingly parallel: compiled
+    HLO contains no gather/permute collectives and nothing beyond
+    scalar-sized reduces."""
+    from audio_training_tpu.parallel.hlo_audit import audit_dp_inference
+    from audio_training_tpu.train.step import make_predict_fn
+
+    mesh = make_mesh(num_data=8)
+    spec, mel, y = _tiny_model_and_data(batch=16)
+    state = create_train_state(spec.module, (jnp.asarray(mel[:1]),))
+    state = jax.device_put(state, replicated(mesh))
+    mel_s = shard_batch(mesh, mel)
+    predict = make_predict_fn()
+    hlo = predict.lower(state, mel_s).compile().as_text()
+    audit_dp_inference(hlo)
 
 
 def test_param_count_positive():
