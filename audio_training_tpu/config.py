@@ -182,6 +182,11 @@ class TrainConfig:
     # host loader processes for train-split decode; None = auto
     # (AUDIO_TPU_LOADER_WORKERS env or cpu_count-1 capped at 4)
     loader_workers: int | None = None
+    # exact one-pass BatchNorm running-stat re-estimation after fit
+    # (train/step.reestimate_batch_stats): short schedules leave the
+    # momentum-0.99 EMA stale and eval-mode quality collapses while
+    # train-mode metrics look fine.  Beyond-parity robustness feature.
+    bn_reestimate: bool = False
 
 
 @dataclass(frozen=True)

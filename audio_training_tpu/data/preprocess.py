@@ -103,6 +103,20 @@ def make_preprocess_fn(
             img = jnp.repeat(img, channels, axis=-1)
         return img
 
+    # Train: mixup on RAW clips, then per-sample min-max normalize of the
+    # mix (tfdataset.py:466-505 — in the reference's training invocation
+    # get_a_dataset's tail normalize never runs because load_raw defaults
+    # False there, audiomodel.py:1607-1642, so the post-mixup normalize at
+    # tfdataset.py:481 is the only one).
+    #
+    # Eval: normalized HERE although the reference's validation stream is
+    # NOT (same dead load_raw default) — a reference train/val/deploy
+    # inconsistency FIXED by default per the repo convention: the model
+    # trains on normalized images (above) and deployment normalizes every
+    # window (predict_utils.py / infer/predictor.py:127-128), so unscaled
+    # val images hit BatchNorm running stats accumulated on a different
+    # scale.  The synthetic-corpus quality gate caught this as eval-mode
+    # collapse (tests/test_quality_gate.py).
     if augment:
 
         @jax.jit
@@ -123,7 +137,7 @@ def make_preprocess_fn(
 
     @jax.jit
     def preprocess_eval(raw, y):
-        return to_image(raw), y
+        return to_image(normalize_rows(raw)), y
 
     return preprocess_eval
 
@@ -180,7 +194,9 @@ def make_merge_preprocess_fn(
     @jax.jit
     def preprocess_eval(xs, y):
         raw, short, mid = xs
-        return (to_image(raw), short, mid), y
+        # eval waveforms normalized like train/deploy — the same
+        # reference-inconsistency fix as make_preprocess_fn's eval path
+        return (to_image(normalize_rows(raw)), short, mid), y
 
     return preprocess_eval
 

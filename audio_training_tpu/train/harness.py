@@ -864,6 +864,49 @@ def train_run(
         confusion_labels=labels if train_cfg.epoch_confusion else None,
     )
 
+    if train_cfg.bn_reestimate:
+        # exact one-pass BN running-stat re-estimation over eval-preprocessed
+        # train batches (train/step.reestimate_batch_stats): short schedules
+        # leave the momentum-0.99 EMA badly stale, collapsing eval-mode
+        # quality while train-mode metrics look fine.  The refreshed final
+        # state is re-saved as run_dir/chkpt (per-metric best checkpoints
+        # keep their own params+stats pairs).
+        from audio_training_tpu.train.checkpoints import save_state
+        from audio_training_tpu.train.step import reestimate_batch_stats
+
+        def bn_batches():
+            from audio_training_tpu.data.pipeline import (
+                BatchLoader,
+                RecordStream,
+                find_shards,
+            )
+
+            shards = []
+            for d in data_dirs:
+                shards.extend(find_shards(d, "train"))
+            stream = iter(RecordStream(
+                shards, space, cfg.samples_per_clip, seed=train_cfg.seed,
+                loop=False,
+            ))
+            for batch in BatchLoader(
+                stream, batch_size=train_cfg.batch_size,
+                num_labels=space.num_labels,
+                samples_per_clip=cfg.samples_per_clip,
+            ):
+                mel, _ = pre_eval(*batch[:2])
+                yield mel
+
+        new_bs = reestimate_batch_stats(
+            spec.module, result.state.params, result.state.batch_stats,
+            bn_batches(),
+        )
+        result = result.__class__(
+            state=result.state.replace(batch_stats=new_bs),
+            history=result.history, epochs_run=result.epochs_run,
+        )
+        save_state(run_dir / "chkpt", result.state)
+        log.info("BN running stats re-estimated over the train split")
+
     test_metrics: dict = {}
     if confusion:
         test_metrics = run_test_confusion(

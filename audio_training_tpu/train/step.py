@@ -214,6 +214,61 @@ def make_eval_step(
     return jax.jit(step, donate_argnums=(1,))
 
 
+def reestimate_batch_stats(
+    module, params, batch_stats, batches, momentum: float = 0.99,
+    dropout_seed: int = 0,
+) -> dict:
+    """EXACT one-pass BatchNorm running-stat re-estimation.
+
+    Keras/Flax BN accumulates running stats as a momentum-0.99 EMA —
+    ~500 optimizer steps to converge, so short runs (few epochs x few
+    steps) evaluate through badly-stale statistics while train-mode
+    metrics look fine.  This recomputes the statistics in ONE pass over
+    ``batches``: flax's train-mode update is ``new = m*old + (1-m)*batch``,
+    so each batch's exact moments are recovered algebraically as
+    ``(new - m*old) / (1-m)`` and AVERAGED across batches (the standard
+    BN re-estimation used before deploying early-stopped models; the
+    per-batch-var average is the usual slightly-conservative estimator).
+
+    Forward passes run in train mode (each BN normalizes by ITS OWN batch
+    moments, exactly the distribution under which training accumulated
+    stats downstream of earlier layers).  The reference has no equivalent
+    (it relies on long schedules to converge the EMA); this is a
+    beyond-parity robustness feature, opt-in via
+    ``TrainConfig.bn_reestimate``.
+
+    ``batches`` yields model input(s) — a mel image array or the tuple
+    models' input tuple.  Returns the new batch_stats pytree.
+    """
+
+    @jax.jit
+    def one_update(bs, inputs):
+        _, mut = module.apply(
+            {"params": params, "batch_stats": bs},
+            *(inputs if isinstance(inputs, tuple) else (inputs,)),
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(dropout_seed)},
+            mutable=["batch_stats"],
+        )
+        return mut["batch_stats"]
+
+    sums = None
+    n = 0
+    for inputs in batches:
+        new_bs = one_update(batch_stats, inputs)
+        batch_vals = jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            new_bs, batch_stats,
+        )
+        sums = batch_vals if sums is None else jax.tree_util.tree_map(
+            jnp.add, sums, batch_vals
+        )
+        n += 1
+    if not n:
+        return batch_stats
+    return jax.tree_util.tree_map(lambda s: s / n, sums)
+
+
 def make_predict_fn(multi_label: bool = True) -> Callable:
     """jit (state, mel) -> probabilities."""
 
