@@ -94,22 +94,92 @@ _PRECISIONS = {
 }
 
 
-# NOTE: no "high" tier.  Mosaic rejects ``Precision.HIGH`` on TPU dots, and
-# a manual bf16 error decomposition (x = hi + lo, one doubled
-# ``[lh;ll] @ [rh|rl]`` dot summing the hi*hi + hi*lo + lo*hi blocks,
-# ~1e-5 relative) measured SLOWER than plain "highest" on this backend:
-# 44.3 ms vs 30.7 ms per 256-clip batch — the runtime hi/lo splits and
-# concats of the frame data cost more than the extra f32 passes save.  The
-# menu is therefore exact-parity "highest" (30.7 ms) or bf16 "default"
-# (15.8 ms, ~2e-3 mel error), measured scan-chained on the real chip.
+# Precision LADDER (round 5).  On TPU, "highest" f32 dots lower to SIX
+# bf16 MXU passes (BF16_BF16_F32_X6) and "default" to one; the middle
+# rung reconstructs ~16 mantissa bits from THREE passes over the bf16
+# hi/lo error decomposition x = hi + lo (hi = bf16(x)):
+#
+#   x @ w ~= hi(x)@hi(w) + hi(x)@lo(w) + lo(x)@hi(w)      [drops lo@lo]
+#
+# * "bf16_3x" (the shipped middle tier): the DFT/mel OPERATORS are split
+#   ONCE at kernel top (hi exactly bf16-representable, so the dots'
+#   internal rounding of it is exact); the DATA side is split in-kernel,
+#   once per dot site.  Measured on-chip: 8.7e-6 global mel parity.
+# * "bf16_3x_manual": the naive probe formulation — both sides split at
+#   runtime inside _dot, i.e. the constant operators are re-split at
+#   every dot site in every row iteration.  Same math; measured 26.2 vs
+#   28.9 ms ("highest") at B=512 — kept only as the A/B probe tier.
+#
+# Paths that DON'T work on this backend, probed round 5 (methods
+# /tmp/probe_ladder.py, /tmp/probe_presplit*.py; results
+# docs/PERFORMANCE.md round 5):
+# * ``jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3`` as the dot precision:
+#   Mosaic's pallas lowering rejects it ("'DotAlgorithmPreset' object is
+#   not subscriptable") — algorithm presets don't thread through
+#   pallas_call lowering.
+# * Splitting the operators at TRACE time and feeding hi/lo as extra VMEM
+#   operands: numerically WRONG on this backend — a REF-READ f32 operand
+#   fed directly to a DEFAULT-precision dot loses small-magnitude mantissa
+#   relative to the identical values COMPUTED in-kernel (1.45e-3 vs
+#   8.7e-6 global mel error, bit-identical operand values; isolated by
+#   the reconstruct-vs-resplit probe — recomputing lo in-kernel from the
+#   same refs restores 8.7e-6, an astype round-trip of the ref-read does
+#   NOT).  Suspected shared-exponent quantization in the MXU's direct
+#   VMEM-load conversion path; per-element VPU converts only happen for
+#   computed operands.  Hence the kernel-top split below reads the f32
+#   originals and splits them with in-kernel ops.
+# * Mosaic rejects ``Precision.HIGH`` dots outright (round 2).
+# * The round-2 SINGLE-doubled-dot formulation ``[lh;ll] @ [rh|rl]``
+#   measured SLOWER than plain "highest" — 44.3 vs 30.7 ms per 256-clip
+#   batch — the runtime concats of the frame data cost more than the
+#   saved passes.  The three-separate-dots form avoids the concats.
+
+
+def _split_hi_lo(v):
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, v - hi
+
+
+def _dot_x3_manual(lhs, rhs, dn):
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dn,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    lh, ll = _split_hi_lo(lhs)
+    rh, rl = _split_hi_lo(rhs)
+    return d(lh, rh) + d(lh, rl) + d(ll, rh)
 
 
 def _dot(lhs, rhs, dn, precision):
+    if precision == "bf16_3x_manual":
+        return _dot_x3_manual(lhs, rhs, dn)
     return jax.lax.dot_general(
         lhs, rhs, dimension_numbers=dn,
         precision=_PRECISIONS[precision],
         preferred_element_type=jnp.float32,
     )
+
+
+def _dot_x3_presplit(w_hi, w_lo, x, dn, swap=False):
+    """Three-pass X3 dot with a PRE-SPLIT constant operator: w_hi must be
+    exactly bf16-representable (so the dot's internal rounding of it is
+    exact) and w_lo = w - w_hi.  Only the data side is split here.
+    ``swap=True`` puts the data on the LHS (w on the RHS)."""
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dn,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    xh, xl = _split_hi_lo(x)
+    if swap:
+        return d(xh, w_hi) + d(xh, w_lo) + d(xl, w_hi)
+    return d(w_hi, xh) + d(w_lo, xh) + d(w_hi, xl)
 
 
 def _dft_constants(hop: int) -> dict[str, np.ndarray]:
@@ -298,6 +368,22 @@ def _featurizer_kernel(
 
     d1ri_op, e_re_op = d1ri_ref[:], e_re_ref[:]
     e_im_op, melw_op = e_im_ref[:], melw_ref[:]
+    if precision == "bf16_3x":
+        # split the operators ONCE at kernel top (vs per dot site in the
+        # "manual" tier).  MUST be in-kernel computed values, not ref-fed
+        # pre-split operands — see the ladder notes above _split_hi_lo.
+        d1ri_op, d1ri_lo = _split_hi_lo(d1ri_op)
+        e_re_op, e_re_lo = _split_hi_lo(e_re_op)
+        e_im_op, e_im_lo = _split_hi_lo(e_im_op)
+        melw_op, melw_lo = _split_hi_lo(melw_op)
+
+        def site_dot(w, w_lo, x, dn):
+            return _dot_x3_presplit(w, w_lo, x, dn)
+    else:
+        d1ri_lo = e_re_lo = e_im_lo = melw_lo = None
+
+        def site_dot(w, w_lo, x, dn):
+            return _dot(w, x, dn, precision)
 
     idx2 = None
     if norm_wave_len:
@@ -403,17 +489,17 @@ def _featurizer_kernel(
             # (conjugate fold, see _dft_constants: rows 0..16 a_re[0..16],
             # rows 17..31 a_im[1..15])
             x2 = frames_scr[:]  # (F, n1, n2) — the scratch's native shape
-            a = _dot(
-                d1ri_op, x2, (((1,), (1,)), ((), ())), precision
+            a = site_dot(
+                d1ri_op, d1ri_lo, x2, (((1,), (1,)), ((), ()))
             )  # (R1, F, n2)
 
             # ---- stage 2 (twiddle folded): HB=16 batches of M=128 -------
             # batch b outputs re/im of X[b + 32 k2] AND X[(32-b) + 32 k2]
             dn = (((2,), (2,)), ((0,), (0,)))
-            x_ri = _dot(
-                e_re_op, a[:HB], dn, precision
-            ) + _dot(
-                e_im_op, a[HB:], dn, precision
+            x_ri = site_dot(
+                e_re_op, e_re_lo, a[:HB], dn
+            ) + site_dot(
+                e_im_op, e_im_lo, a[HB:], dn
             )  # (b, 4*K2C, F): [re X(b); re X(pair); im X(b); im X(pair)]
 
             # ---- power + mel ---------------------------------------------
@@ -423,9 +509,9 @@ def _featurizer_kernel(
             # already in pack_mel_flat's (b, half, k2) order.
             sq = x_ri * x_ri
             power = sq[:, : 2 * K2C, :] + sq[:, 2 * K2C :, :]
-            mel = _dot(
-                melw_op, power.reshape(R1 * K2C, tile),
-                (((1,), (0,)), ((), ())), precision,
+            mel = site_dot(
+                melw_op, melw_lo, power.reshape(R1 * K2C, tile),
+                (((1,), (0,)), ((), ())),
             )  # (M_pad, F)
 
             if not do_pcen:

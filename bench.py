@@ -329,27 +329,38 @@ def main() -> None:
             return sums.sum()
         return run
 
-    # Non-official companion line: the SAME chain with the featurizer at
-    # exact-parity f32 ("highest", 1.96e-7 on-chip mel parity), so the
-    # artifact records both tiers of the parity-vs-speed tradeoff.  The
-    # official line ships the bf16 featurizer tier (~2e-3 mel error) whose
-    # end-to-end prediction delta through the bf16 CNN is max |dprob| =
-    # 6e-5 — the CNN's own bf16 noise floor (docs/PERFORMANCE.md).
-    if precision != "highest":
-        fz_exact = FusedFeaturizer(
+    # Non-official companion lines: the SAME chain across the measured
+    # featurizer dot-precision LADDER (round 5, method /tmp/probe_ladder.py
+    # -> docs/PERFORMANCE.md round 5), so the artifact records every rung
+    # of the parity-vs-speed tradeoff.  On-chip mel parity per tier
+    # (global max|d|/max|ref| vs MatmulMelPlan at HIGHEST, B=8):
+    # default 4.5e-3, bf16_3x 8.7e-6 (three-pass hi/lo decomposition,
+    # operators split at kernel top), highest 2.7e-7 (six-pass X6).  The
+    # official line ships the bf16 "default" tier, whose end-to-end
+    # prediction delta through the bf16 CNN is max |dprob| = 6e-5 — the
+    # CNN's own bf16 noise floor (docs/PERFORMANCE.md).
+    LADDER_PARITY = {"default": 4.5e-3, "bf16_3x": 8.7e-6,
+                     "highest": 2.7e-7}
+    for tier in ("bf16_3x", "highest"):
+        if tier == precision:
+            continue
+        fz_tier = FusedFeaturizer(
             build_mel_weights(cfg), cfg.n_fft, cfg.hop_length,
-            precision="highest",
+            precision=tier,
         )
-        exact_audio_s = _measure(
-            scan_chain_salt(make_full_pcen(fz_exact)), raw_pcen, BATCH_PCEN,
+        tier_audio_s = _measure(
+            scan_chain_salt(make_full_pcen(fz_tier)), raw_pcen, BATCH_PCEN,
             cfg.segment_length,
         )
+        label = ("exact-parity featurizer tier" if tier == "highest"
+                 else "1e-5-parity featurizer tier (bf16_3x)")
         print(json.dumps({
             "metric": "audio-seconds/sec/chip (mel+PCEN+CNN infer; "
-                      f"{backbone}; exact-parity featurizer tier)",
-            "value": round(exact_audio_s, 1),
+                      f"{backbone}; {label})",
+            "value": round(tier_audio_s, 1),
             "unit": "audio_s/s/chip",
-            "vs_baseline": round(exact_audio_s / TARGET, 4),
+            "vs_baseline": round(tier_audio_s / TARGET, 4),
+            "mel_parity_global_rel": LADDER_PARITY[tier],
         }), flush=True)
 
     # ---- companion: the reference's own DEFAULT backbone + zoo sweep ----

@@ -56,6 +56,24 @@ def test_mel_matches_matmul_fft(cfg, mel_w, raw):
     assert rel < 1e-5
 
 
+@pytest.mark.parametrize("tier", ["bf16_3x", "bf16_3x_manual"])
+def test_precision_ladder_tiers_match(cfg, mel_w, raw, tier):
+    """The middle dot-precision rungs (three-pass bf16 hi/lo decomposition,
+    ~16 reconstructed mantissa bits) stay in the 1e-5 parity class of
+    "highest" — plumbing check in interpret mode; the on-TPU ladder
+    (speed + compiled parity per tier) is measured in docs/PERFORMANCE.md
+    round 5 (anchor: /root/reference/custommel.py:18-61)."""
+    ref = np.asarray(
+        MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length, precision="highest")(
+            raw
+        )
+    )
+    fz = FusedFeaturizer(mel_w, cfg.n_fft, cfg.hop_length, precision=tier)
+    out = np.asarray(fz(raw, pcen=False, interpret=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5
+
+
 def test_pcen_matches_scan_reference(cfg, mel_w, raw):
     mel = MatmulMelPlan(mel_w, cfg.n_fft, cfg.hop_length,
                         precision="highest")(raw)
