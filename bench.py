@@ -388,7 +388,8 @@ def main() -> None:
                       f"{name}"
                       + ("; reference default backbone, "
                          "audiomodel.py:2338-2342"
-                         if name == "efficientnetv2b3" else ""),
+                         if name == "efficientnetv2b3" else "")
+                      + ")",
             "value": round(audio_s, 1),
             "unit": "audio_s/s/chip",
             "vs_baseline": round(audio_s / TARGET, 4),
