@@ -28,8 +28,35 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# mmap-count exhaustion guard.  Every jaxlib-0.9 CPU executable holds
+# many small mappings; a full-suite process accumulates them linearly
+# (measured: 7.9k maps at 5 min, 64.3k at the crash) until it hits
+# vm.max_map_count (default 65530) and the next big compile / cache
+# (de)serialize SEGFAULTS — reproduced 6x at ~180 tests in, at three
+# different big executables, in compile, serialize AND deserialize
+# frames, while every module passes standalone (shallow map count).
+# Two-layer fix: raise the kernel limit when we can (root container),
+# and clear jax's executable caches between modules to bound growth
+# everywhere else.  Details: .claude/skills/verify/SKILL.md.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _map_limit = int(f.read())
+    if _map_limit < 1_048_576:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1048576")
+except (OSError, PermissionError):
+    pass  # non-root: the per-module cache clear below bounds growth
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_mmap_growth():
+    """Release compiled executables (and their code-page mappings) at
+    module boundaries so map count stays far from vm.max_map_count."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

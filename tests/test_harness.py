@@ -76,15 +76,25 @@ def test_init_labels_morepork_model(tmp_path):
 
 @pytest.mark.slow
 def test_graft_entry_dryrun_multichip():
-    """The driver's multi-chip validation runs inside the suite too."""
+    """The driver's multi-chip validation runs inside the suite too.
+
+    Run it in a FRESH subprocess (the driver's own invocation shape), not
+    in-process: jaxlib 0.9.0's CPU executable (de)serialization segfaults
+    on this 8-device pjit executable under deep accumulated suite state —
+    in BOTH cache directions (put at ~180 tests in, then get once the
+    entry was warmed) — while the identical compile in a shallow process
+    is fine (see .claude/skills/verify/SKILL.md).  The subprocess
+    configures no persistent cache, so neither path can trigger it.
+    """
+    import subprocess
     import sys
 
-    sys.path.insert(0, "/root/repo")
-    try:
-        import __graft_entry__ as ge
-    finally:
-        sys.path.pop(0)
-    ge.dryrun_multichip(8)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, (proc.stdout or "") + (proc.stderr or "")
 
 
 @pytest.mark.slow
